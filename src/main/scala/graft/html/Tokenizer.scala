@@ -1,0 +1,214 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML token stream. The tokenizer is a from-scratch, allocation-light,
+  * never-throw state machine (HTML5-inspired, not spec-complete): it must
+  * survive arbitrary malformed bytes at 10^12-doc scale (SURVEY.md §7.7.1).
+  *
+  * The reference delegates parsing to the `select` crate
+  * (reference: src/parser.rs:132-134); we own the parser so extraction is
+  * deterministic and auditable.
+  */
+sealed trait Tok
+final case class StartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean) extends Tok
+final case class EndTag(name: String) extends Tok
+final case class Text(data: String) extends Tok
+
+object Tokenizer {
+
+  /** Elements whose content is raw text (no nested markup). */
+  private val RawText = Set("script", "style")
+
+  /** Tokenize `html`. Never throws; on truncated input, emits what it has. */
+  def tokenize(html: String): ArrayBuffer[Tok] = {
+    val out = new ArrayBuffer[Tok](64)
+    if (html == null) return out
+    val n = html.length
+    var i = 0
+    val text = new java.lang.StringBuilder(256)
+
+    def flushText(): Unit = {
+      if (text.length > 0) {
+        out += Text(text.toString)
+        text.setLength(0)
+      }
+    }
+
+    def isNameStart(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          // comment, doctype, or CDATA — skip it
+          flushText()
+          if (html.startsWith("<!--", i)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = html.indexOf('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '?') { // processing instruction — skip
+          flushText()
+          val end = html.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (c1 == '/') {
+          // end tag
+          var j = i + 2
+          if (j < n && isNameStart(html.charAt(j))) {
+            flushText()
+            val ns = j
+            while (j < n && html.charAt(j) != '>' && !Character.isWhitespace(html.charAt(j))) j += 1
+            val name = html.substring(ns, j).toLowerCase
+            while (j < n && html.charAt(j) != '>') j += 1
+            i = if (j < n) j + 1 else n
+            out += EndTag(name)
+          } else { // "</3" etc. — literal text
+            text.append(c); i += 1
+          }
+        } else if (isNameStart(c1)) {
+          // start tag
+          flushText()
+          var j = i + 1
+          val ns = j
+          while (j < n && { val ch = html.charAt(j)
+            (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+            (ch >= '0' && ch <= '9') || ch == '-' || ch == ':' }) j += 1
+          val name = html.substring(ns, j).toLowerCase
+          // attributes
+          var attrs: List[(String, String)] = Nil
+          var selfClosing = false
+          var done = false
+          while (!done && j < n) {
+            while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+            if (j >= n) { done = true }
+            else html.charAt(j) match {
+              case '>' => j += 1; done = true
+              case '/' =>
+                if (j + 1 < n && html.charAt(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+                else j += 1
+              case _ =>
+                // attribute name
+                val as = j
+                while (j < n && { val ch = html.charAt(j)
+                  ch != '=' && ch != '>' && ch != '/' && !Character.isWhitespace(ch) }) j += 1
+                val aname = html.substring(as, j).toLowerCase
+                var avalue = ""
+                // optional = value
+                var k = j
+                while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+                if (k < n && html.charAt(k) == '=') {
+                  k += 1
+                  while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+                  if (k < n) {
+                    val q = html.charAt(k)
+                    if (q == '"' || q == '\'') {
+                      val vs = k + 1
+                      val ve = html.indexOf(q, vs)
+                      if (ve < 0) { avalue = html.substring(vs); k = n }
+                      else { avalue = html.substring(vs, ve); k = ve + 1 }
+                    } else {
+                      val vs = k
+                      while (k < n && { val ch = html.charAt(k); ch != '>' && !Character.isWhitespace(ch) }) k += 1
+                      avalue = html.substring(vs, k)
+                    }
+                  }
+                  j = k
+                }
+                if (aname.nonEmpty) attrs = (aname -> Entities.decode(avalue)) :: attrs
+            }
+          }
+          i = j
+          out += StartTag(name, attrs.reverse, selfClosing)
+          // raw-text elements: consume until matching close tag, drop content
+          if (!selfClosing && RawText.contains(name)) {
+            val closer = "</" + name
+            var e = indexOfIgnoreCase(html, closer, i)
+            if (e < 0) { i = n }
+            else {
+              var g = e + closer.length
+              while (g < n && html.charAt(g) != '>') g += 1
+              i = if (g < n) g + 1 else n
+              out += EndTag(name)
+            }
+          }
+        } else { // '<' followed by junk — literal
+          text.append(c); i += 1
+        }
+      } else {
+        text.append(c); i += 1
+      }
+    }
+    flushText()
+    // decode entities in text tokens in place
+    var t = 0
+    while (t < out.length) {
+      out(t) match {
+        case Text(d) => out(t) = Text(Entities.decode(d))
+        case _       =>
+      }
+      t += 1
+    }
+    out
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = hay.length; val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (hay.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+}
+
+/** Minimal HTML entity decoder: named core set + numeric refs. Never throws. */
+object Entities {
+  private val named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "laquo" -> "«", "raquo" -> "»",
+    "rsquo" -> "’", "lsquo" -> "‘", "rdquo" -> "”",
+    "ldquo" -> "“", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "deg" -> "°", "eacute" -> "é",
+    "agrave" -> "à", "uuml" -> "ü", "ouml" -> "ö",
+    "auml" -> "ä", "szlig" -> "ß", "ccedil" -> "ç"
+  )
+
+  def decode(s: String): String = {
+    if (s == null || s.indexOf('&') < 0) return if (s == null) "" else s
+    val n = s.length
+    val b = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#")) {
+            val numStr = body.substring(1)
+            val cp: Int =
+              try {
+                if (numStr.startsWith("x") || numStr.startsWith("X"))
+                  Integer.parseInt(numStr.substring(1), 16)
+                else Integer.parseInt(numStr)
+              } catch { case _: Exception => -1 }
+            if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) {
+              b.appendCodePoint(cp); i = semi + 1
+            } else { b.append(c); i += 1 }
+          } else named.get(body) match {
+            case Some(rep) => b.append(rep); i = semi + 1
+            case None      => b.append(c); i += 1
+          }
+        } else { b.append(c); i += 1 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+}

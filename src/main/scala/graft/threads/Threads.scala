@@ -1,0 +1,71 @@
+package graft.threads
+
+import graft.model.ClassifiedDoc
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** News-thread clustering + ranking (reference: T1-T5,
+  * src/nlu/glossary.rs:374-443, 226-300).
+  *
+  * Deviation D4 (SURVEY.md §7.6): the reference's greedy, iteration-order-
+  * dependent self-occurrence clustering is replaced by deterministic
+  * key-based clustering on the normalized title — permutation- and
+  * partition-count-invariant, which is what makes it shuffle-able.
+  *
+  * Scale design (north_rule: salted repartitioning for hot keys):
+  * a viral title may hold millions of docs, so a thread carries
+  * `size` = full count plus a bounded `articles` sample (K smallest
+  * doc_ids — deterministic). The aggregation is TWO-PHASE: phase 1 groups
+  * by (key, salt) so no single task sees a whole hot key; phase 2 merges
+  * ≤ NSALT bounded partials per key. Both phases are map-side-combinable;
+  * per-key reducer state is O(NSALT·K), never O(cluster size).
+  */
+object Threads {
+
+  val ArticleSampleK = 10 // mirrors the reference's 10-doc thread cap (glossary.rs:404, Q6)
+  val NSalt = 16
+
+  /** classified docs → threads: (title_norm, category, size, articles).
+    * Keeps clusters with ≥ 2 members (reference: glossary.rs:234-236).
+    */
+  def threads(classified: Dataset[ClassifiedDoc], k: Int = ArticleSampleK): DataFrame = {
+    val phase1 = classified.toDF()
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
+      .groupBy(col("title_norm"), col("salt"))
+      .agg(
+        count(lit(1)).as("c"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample"),
+        min(col("category")).as("category"))
+    phase1
+      .groupBy(col("title_norm"))
+      .agg(
+        sum(col("c")).as("size"),
+        slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles"),
+        min(col("category")).as("category"))
+      .filter(col("size") >= 2)
+  }
+
+  /** Threads ordered by size desc (reference: sort_by_thread_count,
+    * glossary.rs:286-300), title asc as deterministic tie-break.
+    */
+  def ranked(threadsDf: DataFrame): DataFrame =
+    threadsDf.orderBy(col("size").desc, col("title_norm"))
+
+  /** `top`: per-category buckets + the "any" bucket (reference:
+    * glossary.rs:85-105, 246-278), top `limit` threads per bucket.
+    * Per-bucket ranking uses a window (TakeOrdered per group), not a
+    * global sort.
+    */
+  def top(threadsDf: DataFrame, limit: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withAny = threadsDf
+      .withColumn("category", when(col("category") === "", "other").otherwise(col("category")))
+      .unionByName(threadsDf.withColumn("category", lit("any")))
+    val w = Window.partitionBy(col("category"))
+      .orderBy(col("size").desc, col("title_norm"))
+    withAny
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+      .select("category", "rank", "title_norm", "size", "articles")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.extract.Extract
+import graft.model.{Doc, Span}
+import graft.synth.Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-row invariant (BASELINE.json input_hint): span-sequence
+  * equality (kind, text, media_ref, order) against generator ground truth.
+  * Pure-function level (no Spark) over 2000 seeded docs — the Spark-level
+  * end-to-end run of the same corpus lives in PipelineSpec.
+  */
+class SpanFixtureSpec extends AnyFunSuite {
+
+  private val seed = 42L
+  private val n = 2000
+  private val nStories = math.max(8, n / 50)
+
+  test("extraction matches generator ground truth on all seeded docs") {
+    var checked = 0
+    var kept = 0
+    (0 until n).foreach { i =>
+      val t = Synth.gen(seed, i.toLong, nStories)
+      val got = Extract.extractOne(Doc(t.doc_id, t.input))
+      if (t.kept) {
+        assert(got.isDefined, s"${t.doc_id}: expected kept, was dropped (lang=${t.lang}, title=${t.title_norm})")
+        val g = got.get
+        assert(g.lang == t.lang, s"${t.doc_id}: lang ${g.lang} != ${t.lang}")
+        assert(g.title_norm == t.title_norm, s"${t.doc_id}: title '${g.title_norm}' != '${t.title_norm}'")
+        val gs = g.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq
+        val es = t.expected.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq
+        assert(gs == es,
+          s"${t.doc_id}: span mismatch\n got: ${gs.mkString("\n      ")}\n want: ${es.mkString("\n      ")}")
+        kept += 1
+      } else {
+        assert(got.isEmpty, s"${t.doc_id}: expected dropped, got ${got.map(_.title_norm)}")
+      }
+      checked += 1
+    }
+    assert(checked == n)
+    assert(kept > n / 2, s"too few kept docs: $kept") // ~75% en+ru
+  }
+
+  test("offsets are 0-based consecutive emission order") {
+    (0 until 200).foreach { i =>
+      val t = Synth.gen(seed, i.toLong, nStories)
+      if (t.kept) {
+        Extract.extractOne(Doc(t.doc_id, t.input)).foreach { g =>
+          assert(g.spans.zipWithIndex.forall { case (s, idx) => s.offset == idx })
+        }
+      }
+    }
+  }
+
+  test("generation is pure: same (seed, idx) → identical doc and truth") {
+    val a = Synth.gen(seed, 7L, nStories)
+    val b = Synth.gen(seed, 7L, nStories)
+    assert(a.input.toSeq == b.input.toSeq)
+    assert(a.expected.toSeq == b.expected.toSeq)
+  }
+
+  test("media interleave: input media become image spans in order") {
+    // find a kept doc with interleaved media input spans
+    val t = (0 until 2000).iterator
+      .map(i => Synth.gen(seed, i.toLong, nStories))
+      .find(t => t.kept && t.input.count(_.kind == "media") >= 2)
+      .get
+    val g = Extract.extractOne(Doc(t.doc_id, t.input)).get
+    val mediaRefs = t.input.filter(_.kind == "media").map(_.media_ref).toSeq
+    val gotRefs = g.spans.filter(s => s.kind == "image" && s.media_ref.startsWith("media://")).map(_.media_ref).toSeq
+    assert(gotRefs == mediaRefs)
+  }
+}
