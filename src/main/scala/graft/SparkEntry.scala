@@ -1,13 +1,264 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.Extract
+import graft.gloss.Classify
+import graft.ops.{Multimodal, Similarity, TextOps}
+import graft.synth.Synth
+import graft.threads.Threads
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — SURVEY.md §2 operator inventory, one entry per
+  * implemented operator. Queries with a DuckDB-expressible relational
+  * tail carry an oracle in [[oracleSql]] (column names aligned on both
+  * sides); span extraction / sketch / ANN ops are rows-only checked here
+  * and exactly fixture-checked in `sbt test` (SpanFixtureSpec et al.).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Synth corpus sized to the sf tier (sf0.01 → ~5k docs). */
+  private def corpusFor(spark: SparkSession, dir: String) = {
+    val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 5000L else 1000L
+    Synth.corpus(spark, seed = 42L, nDocs = n)
+  }
+
+  /** Flagship: end-to-end extraction on sf0.001-scale synth corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Extract.run(Synth.corpus(spark, 42L, 1000L))
+      .select($"doc_id", $"lang", $"title_norm", $"n_text_spans", $"n_media_spans")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/agg/join/window/sort/limit) -----
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_rows"))),
+    "q2_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+    "q3_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+    "q4_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+    }),
+    "q5_semijoin" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))),
+    "q6_antijoin" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))),
+    "q7_filter_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_quantity") < 25)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+    "q8_multi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))),
+    "q9_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+    "q10_events_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))),
+
+    // ---- text analysis over documents ---------------------------------
+    "doc_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "doc_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("lang_pred"))),
+    "doc_quality" -> ((s, d) => {
+      val cols = TextOps.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, d, "documents").select(col("doc_id") +: cols: _*)
+    }),
+    "doc_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "doc_exact_dedup" -> ((s, d) =>
+      TextOps.exactDupGroups(t(s, d, "documents"))
+        .select(col("fp"), col("n_dups"))),
+
+    // ---- sketch dedup (rows-only: hash functions not DuckDB-expressible)
+    "doc_minhash_dedup" -> ((s, d) =>
+      TextOps.minhashDupGroups(t(s, d, "documents"))),
+    "doc_simhash_dedup" -> ((s, d) =>
+      TextOps.simhashDupGroups(t(s, d, "documents"))),
+    "doc_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = TextOps.minhashDupGroups(docs, sampleK = 4)
+        .select(col("doc_ids")(0).as("doc_id_a"), col("doc_ids")(1).as("doc_id_b"))
+        .filter(col("doc_id_b").isNotNull).distinct()
+      TextOps.jaccardVerify(docs, cand, minJaccard = 0.5)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // ---- similarity search over embeddings (rows-only: float scores) --
+    "ann_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.bruteForceTopK(s, emb, queries, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.lshBucketTopK(s, emb, queries, k = 5, nBits = 6)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+    }),
+    "emb_cosine_dup" -> ((s, d) =>
+      Similarity.cosineDupPairs(s, t(s, d, "embeddings"), minSim = 0.4, nBits = 8)
+        .select(col("id_a"), col("id_b"))),
+
+    // ---- multimodal plumbing ------------------------------------------
+    "media_meta" -> ((s, d) =>
+      Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents")))
+        .toDF().select(col("doc_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"))),
+    "media_frame_plan" -> ((s, d) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents"))),
+        stride = 30)),
+
+    // ---- the reference pipeline (extraction → classify → threads) -----
+    "ext_lang_split" -> ((s, d) => {
+      Extract.run(corpusFor(s, d)).toDF()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }),
+    "ext_spans" -> ((s, d) => {
+      Extract.run(corpusFor(s, d)).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span.kind").as("kind"),
+          col("span.offset").as("offset"))
+    }),
+    "ext_categories" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      Classify.run(Extract.run(corpusFor(s, d)), bc).toDF()
+        .groupBy(col("category")).agg(count(lit(1)).as("n_docs"))
+    }),
+    "ext_threads" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      Threads.ranked(Threads.threads(Classify.run(Extract.run(corpusFor(s, d)), bc)))
+        .select(col("title_norm"), col("size"))
+    }),
+    "ext_top" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      Threads.top(Threads.threads(Classify.run(Extract.run(corpusFor(s, d)), bc)))
+        .select(col("category"), col("rank"), col("title_norm"), col("size"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_price,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT o_custkey, first_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q5_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q6_antijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q7_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |count(*) AS n_rows FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_quantity < 25""".stripMargin,
+    "q8_multi_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q9_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q10_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "doc_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
+    "doc_langid" ->
+      """SELECT doc_id, CASE
+        |WHEN length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) * 2
+        |   > length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))
+        |   + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) THEN 'ru'
+        |WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0 THEN 'en'
+        |ELSE '' END AS lang_pred FROM documents""".stripMargin,
+    "doc_quality" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+        |(length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) // 3 AS stop_hits,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE (length(text) * 100) // len(regexp_split_to_array(trim(text), '\s+')) END AS len_per_token_x100
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "doc_exact_dedup" ->
+      """SELECT fp, n_dups FROM (
+        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  count(*) AS n_dups FROM documents GROUP BY 1) WHERE n_dups >= 2""".stripMargin,
+    "media_meta" ->
+      """SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |strlen(text) AS n_bytes FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a training-data pipeline needs both:
+  *  - [[bruteForceTopK]]: exact cosine top-k of every corpus vector
+  *    against a SMALL query set — broadcast the queries, one
+  *    mapPartitions pass over the corpus keeping a bounded per-query
+  *    heap per partition, then a groupBy merge. No crossJoin shuffle:
+  *    shuffle volume is O(partitions · queries · k), independent of
+  *    corpus size — the pattern that survives 10^12 rows.
+  *  - [[lshBucketTopK]]: approximate path — random-hyperplane (sign) LSH
+  *    signatures bucket the corpus; candidates = same-bucket vectors;
+  *    exact cosine only within buckets. Bucket key is uniform by
+  *    construction (hash of signs), so the groupBy is balanced.
+  *
+  * Embedding dot products run on primitive float arrays inside the
+  * partition iterator (no per-element Row boxing in the hot loop).
+  */
+object Similarity {
+
+  final case class Scored(q_id: Long, vec_id: Long, sim: Double)
+
+  private def dotNorm(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (vec_id long, embedding array<float>)
+    * @param queries (q_id long, embedding array<float>) — must be small
+    *                (broadcast-able; e.g. a probe set or batch of new docs)
+    */
+  def bruteForceTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("q_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qs)
+    val partials = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        // bounded per-query heap: (sim, vec_id) min-heap of size k
+        val heaps = Array.fill(queries.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2))))
+        it.foreach { case (vid, emb) =>
+          var qi = 0
+          while (qi < queries.length) {
+            val sim = dotNorm(queries(qi)._2, emb)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((sim, vid))
+            else if (sim > h.head._1 || (sim == h.head._1 && vid < h.head._2)) {
+              h.dequeue(); h.enqueue((sim, vid))
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (sim, vid) => Scored(queries(qi)._1, vid, sim) }
+        }
+      }
+    // merge partition-local top-k → global top-k per query
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    partials.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes: dim × nBits floats from a seeded
+    * splitmix-like generator (no java.util.Random statefulness).
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        // uniform in [-1, 1)
+        (mix(seed + b * 1000003L + d).toDouble / Long.MaxValue).toFloat
+      }
+    }
+  }
+
+  def signature(planes: Array[Array[Float]], v: Array[Float]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      val n = math.min(p.length, v.length)
+      var i = 0
+      while (i < n) { dot += p(i).toDouble * v(i); i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed approximate top-k: bucket by sign signature, exact
+    * cosine within each (query-bucket) group. Misses cross-bucket
+    * neighbors by design (recall/cost trade; multi-probe = union over
+    * neighboring signatures is the extension path).
+    */
+  def lshBucketTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                    k: Int, nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).as[Int].head()
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
+    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
+    val qs = queries.select(col("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", sigUdf(col("q_emb")))
+    val cs = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", sigUdf(col("embedding")))
+    val simUdf = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cs.join(broadcast(qs), "bucket") // query side is small → broadcast hash join per bucket
+      .withColumn("sim", simUdf(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: vectors whose cosine ≥ `minSim`
+    * within an LSH bucket (the embedding-space analogue of minhash dedup).
+    */
+  def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,
+                     nBits: Int = 10, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).as[Int].head()
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
+    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
+    val withB = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", sigUdf(col("embedding")))
+    val a = withB.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = withB.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val simUdf = udf((x: Array[Float], y: Array[Float]) => dotNorm(x, y))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b")) // each pair once
+      .withColumn("sim", simUdf(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.extract.Extract
+import graft.gloss.Classify
+import graft.model.Doc
+import graft.synth.Synth
+import graft.threads.Threads
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level end-to-end tests: the real distributed pipeline over the
+  * seeded corpus, checked against generator ground truth.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val seed = 42L
+  private val n = 1000L
+
+  test("end-to-end extraction equals ground truth on Spark") {
+    import spark.implicits._
+    val extracted = Extract.run(Synth.corpus(spark, seed, n)).collect()
+      .map(e => e.doc_id -> e).toMap
+    val truths = Synth.truths(spark, seed, n).collect()
+    truths.foreach { t =>
+      if (t.kept) {
+        val e = extracted.getOrElse(t.doc_id, fail(s"${t.doc_id} missing"))
+        assert(e.lang == t.lang)
+        assert(e.title_norm == t.title_norm)
+        assert(e.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq ==
+          t.expected.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq)
+      } else assert(!extracted.contains(t.doc_id), s"${t.doc_id} should be dropped")
+    }
+    assert(extracted.size == truths.count(_.kept))
+  }
+
+  test("threads: clusters match ground-truth title groups, size >= 2") {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+    val classified = Classify.run(Extract.run(Synth.corpus(spark, seed, n)), bc)
+    val got = Threads.threads(classified)
+      .select($"title_norm", $"size")
+      .as[(String, Long)].collect().toMap
+    val want = Synth.truths(spark, seed, n).filter(_.kept)
+      .groupByKey(_.title_norm).count().collect()
+      .filter(_._2 >= 2).toMap
+    assert(got == want)
+  }
+
+  test("threads clustering is partition-count invariant") {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+    def run(parts: Int) = {
+      val classified = Classify.run(
+        Extract.run(Synth.corpus(spark, seed, n, partitions = parts)), bc)
+      Threads.threads(classified)
+        .select($"title_norm", $"size", $"articles")
+        .as[(String, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    }
+    assert(run(3) == run(17))
+  }
+
+  test("salted two-phase clustering equals direct groupBy on a hot key") {
+    import spark.implicits._
+    // 50% of docs share one title (the skew fixture, SURVEY.md §5.2.6)
+    val hot = (0 until 500).map(i => graft.model.ClassifiedDoc(f"h$i%04d", "en", "hot title", "other", false, Map()))
+    val cold = (0 until 500).map(i => graft.model.ClassifiedDoc(f"c$i%04d", "en", s"cold title $i", "other", false, Map()))
+    val ds = spark.createDataset((hot ++ cold).toSeq).repartition(8)
+    val got = Threads.threads(ds).select($"title_norm", $"size", $"articles")
+      .as[(String, Long, Seq[String])].collect().map { case (k, s, a) => k -> ((s, a)) }.toMap
+    // direct (unsalted) reference computation
+    val direct = ds.groupBy($"title_norm")
+      .agg(count(lit(1)).as("size"),
+        slice(sort_array(collect_list($"doc_id")), 1, Threads.ArticleSampleK).as("articles"))
+      .filter($"size" >= 2)
+      .as[(String, Long, Seq[String])].collect().map { case (k, s, a) => k -> ((s, a)) }.toMap
+    assert(got == direct)
+    assert(got("hot title")._1 == 500L)
+    assert(got("hot title")._2.size == Threads.ArticleSampleK)
+  }
+
+  test("top: per-category buckets include 'any', ranked by size desc") {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+    val classified = Classify.run(Extract.run(Synth.corpus(spark, seed, n)), bc)
+    val top = Threads.top(Threads.threads(classified)).collect()
+    val byCat = top.groupBy(_.getString(0))
+    assert(byCat.contains("any"))
+    byCat.foreach { case (_, rows) =>
+      val sizes = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b }, "not size-desc")
+    }
+    // 'any' holds the global top threads
+    val anyTop = byCat("any").sortBy(_.getInt(1)).map(_.getString(2))
+    val global = Threads.ranked(Threads.threads(classified))
+      .select($"title_norm").as[String].take(anyTop.length).toSeq
+    assert(anyTop.toSeq == global)
+  }
+
+  test("SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
