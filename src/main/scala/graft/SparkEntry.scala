@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.Extract
 import graft.gloss.Classify
-import graft.ops.{Multimodal, Similarity, TextOps}
+import graft.ops.{Multimodal, Similarity, Sketches, TextOps}
 import graft.synth.Synth
 import graft.threads.Threads
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,10 +19,10 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Synth corpus sized to the sf tier (sf0.01 → ~5k docs). */
-  private def corpusFor(spark: SparkSession, dir: String) = {
+  /** Fused synth+extract sized to the sf tier (sf0.01 → ~5k docs). */
+  private def extractedFor(spark: SparkSession, dir: String) = {
     val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 5000L else 1000L
-    Synth.corpus(spark, seed = 42L, nDocs = n)
+    Synth.extracted(spark, seed = 42L, nDocs = n)
   }
 
   /** Flagship: end-to-end extraction on sf0.001-scale synth corpus. */
@@ -115,15 +115,15 @@ object SparkEntry {
 
     // ---- sketch dedup (rows-only: hash functions not DuckDB-expressible)
     "doc_minhash_dedup" -> ((s, d) =>
-      TextOps.minhashDupGroups(t(s, d, "documents"))),
+      Sketches.minhashDupGroups(t(s, d, "documents"))),
     "doc_simhash_dedup" -> ((s, d) =>
-      TextOps.simhashDupGroups(t(s, d, "documents"))),
+      Sketches.simhashDupGroups(t(s, d, "documents"))),
     "doc_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cand = TextOps.minhashDupGroups(docs, sampleK = 4)
+      val cand = Sketches.minhashDupGroups(docs, sampleK = 4)
         .select(col("doc_ids")(0).as("doc_id_a"), col("doc_ids")(1).as("doc_id_b"))
         .filter(col("doc_id_b").isNotNull).distinct()
-      TextOps.jaccardVerify(docs, cand, minJaccard = 0.5)
+      Sketches.jaccardVerify(docs, cand, minJaccard = 0.5)
         .select(col("doc_id_a"), col("doc_id_b"),
           round(col("jaccard"), 4).as("jaccard"))
     }),
@@ -158,28 +158,28 @@ object SparkEntry {
 
     // ---- the reference pipeline (extraction → classify → threads) -----
     "ext_lang_split" -> ((s, d) => {
-      Extract.run(corpusFor(s, d)).toDF()
+      extractedFor(s, d).toDF()
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
     "ext_spans" -> ((s, d) => {
-      Extract.run(corpusFor(s, d)).toDF()
+      extractedFor(s, d).toDF()
         .select(col("doc_id"), explode(col("spans")).as("span"))
         .select(col("doc_id"), col("span.kind").as("kind"),
           col("span.offset").as("offset"))
     }),
     "ext_categories" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
-      Classify.run(Extract.run(corpusFor(s, d)), bc).toDF()
+      Classify.run(extractedFor(s, d), bc).toDF()
         .groupBy(col("category")).agg(count(lit(1)).as("n_docs"))
     }),
     "ext_threads" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
-      Threads.ranked(Threads.threads(Classify.run(Extract.run(corpusFor(s, d)), bc)))
+      Threads.ranked(Threads.threads(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
     "ext_top" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
-      Threads.top(Threads.threads(Classify.run(Extract.run(corpusFor(s, d)), bc)))
+      Threads.top(Threads.threads(Classify.run(extractedFor(s, d), bc)))
         .select(col("category"), col("rank"), col("title_norm"), col("size"))
     })
   )

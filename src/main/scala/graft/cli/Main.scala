@@ -1,0 +1,162 @@
+package graft.cli
+
+import graft.extract.Extract
+import graft.gloss.Classify
+import graft.model.Doc
+import graft.synth.Synth
+import graft.threads.Threads
+import graft.tablefmt.Checkpoint
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point with the reference's five verbs
+  * (reference: src/main.rs:73-82 / README.md:12-24):
+  *
+  * {{{
+  *   Main languages|news|categories|threads|top
+  *        [--input <parquet dir with (doc_id, spans)>] [--synth <nDocs>]
+  *        [--out <table dir>] [--buckets <n>]
+  * }}}
+  *
+  * With --out, results are written as a checkpointed table (resumable,
+  * per-unit lineage — see [[graft.tablefmt.Checkpoint]]). The JSON frames
+  * printed to stdout mirror the reference's printers (src/printer.rs:6-62,
+  * src/nlu/glossary.rs:218-278) from a driver-side collect CAPPED at
+  * `MaxCliRows` — the stdout path is a CLI-compat shim, the table write is
+  * the real sink (SURVEY.md §1.3 S4).
+  */
+object Main {
+
+  val MaxCliRows = 100000
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val verb = args(0)
+    val opts = parseOpts(args.drop(1))
+    if (!Set("languages", "news", "categories", "threads", "top").contains(verb)) {
+      System.err.println(s"unknown verb: $verb\n$usage"); sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(s"graft-$verb")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, verb, opts)
+    finally spark.stop()
+  }
+
+  private def parseOpts(rest: Array[String]): Map[String, String] =
+    rest.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  private val usage =
+    "usage: Main languages|news|categories|threads|top [--input dir] [--synth nDocs] [--out dir] [--buckets n]"
+
+  private def inputDocs(spark: SparkSession, opts: Map[String, String]): Dataset[Doc] = {
+    import spark.implicits._
+    opts.get("input") match {
+      case Some(dir) => spark.read.parquet(dir).as[Doc]
+      case None => Synth.corpus(spark, 42L, opts.getOrElse("synth", "1000").toLong)
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  def run(spark: SparkSession, verb: String, opts: Map[String, String]): Unit = {
+    import spark.implicits._
+    val docs = inputDocs(spark, opts)
+    val buckets = opts.getOrElse("buckets", "16").toInt
+
+    // Checkpointed sink: commit units slice the INPUT by key hash, and the
+    // transform runs per disjoint slice — resume recomputes only
+    // uncommitted slices, never the whole pipeline.
+    def writeOut(input: org.apache.spark.sql.DataFrame, keyCol: String,
+                 transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      opts.get("out").foreach { out =>
+        Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
+      }
+
+    val extractT: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Extract.run(df.as[Doc]).toDF()
+        .select(col("doc_id"), col("lang"), col("title_norm"), col("spans"))
+
+    verb match {
+      case "languages" =>
+        val extracted = Extract.run(docs)
+        writeOut(docs.toDF(), "doc_id", extractT)
+        // {"lang_code": "en", "articles": [...]}, then ru — printer.rs:6-62
+        val byLang = extracted.select($"lang", $"doc_id")
+          .as[(String, String)].groupByKey(_._1)
+          .mapGroups((l, it) => (l, it.map(_._2).take(MaxCliRows).toArray.sorted))
+          .collect().toMap
+        val frames = Seq("en", "ru").map { l =>
+          s"""{"lang_code": ${jsonStr(l)}, "articles": [${byLang.getOrElse(l, Array.empty[String]).map(jsonStr).mkString(", ")}]}"""
+        }
+        println(frames.mkString("[\n", ",\n", "\n]"))
+
+      case "news" | "categories" =>
+        val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+        val classified = Classify.run(Extract.run(docs), bc)
+        writeOut(docs.toDF(), "doc_id", df =>
+          Classify.run(Extract.run(df.as[Doc]), bc).toDF()
+            .select(col("doc_id"), col("lang"), col("title_norm"),
+              col("category"), col("is_news")))
+        if (verb == "news") {
+          val ids = classified.filter(_.is_news).map(_.doc_id)
+            .take(MaxCliRows).sorted
+          println(s"""{"articles": [${ids.map(jsonStr).mkString(", ")}]}""")
+        } else {
+          val cats = classified.filter(_.category.nonEmpty)
+            .groupByKey(_.category)
+            .mapGroups((c, it) => (c, it.map(_.doc_id).take(MaxCliRows).toArray.sorted))
+            .collect().sortBy(_._1)
+          val frames = cats.map { case (c, ids) =>
+            s"""{"category": ${jsonStr(c)}, "articles": [${ids.map(jsonStr).mkString(", ")}]}"""
+          }
+          println(frames.mkString("[\n", ",\n", "\n]"))
+        }
+
+      case "threads" | "top" =>
+        val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+        // two-stage at scale: persist classified once, then cluster; commit
+        // units slice by title hash, so clusters never cross units
+        val classified = Classify.run(Extract.run(docs), bc).cache()
+        val th = Threads.threads(classified)
+        writeOut(classified.toDF(), "title_norm",
+          df => Threads.threads(df.as[graft.model.ClassifiedDoc]))
+        if (verb == "threads") {
+          val rows = Threads.ranked(th)
+            .select($"title_norm", $"articles")
+            .as[(String, Seq[String])].take(MaxCliRows)
+          val frames = rows.map { case (t, a) =>
+            s"""{"title": ${jsonStr(t)}, "articles": [${a.map(jsonStr).mkString(", ")}]}"""
+          }
+          println(frames.mkString("[\n", ",\n", "\n]"))
+        } else {
+          val rows = Threads.top(th)
+            .select($"category", $"rank", $"title_norm", $"articles")
+            .as[(String, Int, String, Seq[String])].collect()
+          val frames = rows.groupBy(_._1).toSeq.sortBy {
+            case ("any", _) => "" // any first, as the reference prints it
+            case (c, _)     => c
+          }.map { case (cat, ts) =>
+            val threads = ts.sortBy(_._2).map { case (_, _, t, a) =>
+              s"""{"title": ${jsonStr(t)}, "articles": [${a.map(jsonStr).mkString(", ")}]}"""
+            }
+            s"""{"category": ${jsonStr(cat)}, "threads": [${threads.mkString(", ")}]}"""
+          }
+          println(frames.mkString("[\n", ",\n", "\n]"))
+        }
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming over the events table: the streaming twin of the
+  * batch `q10_events_window` query. The reference has no true streaming
+  * (its Redis BRPOP loop is an at-least-once work queue, SURVEY.md §2.6);
+  * this is the engine's forward-looking ingest path: readStream →
+  * watermark → windowed aggregate → sink, with state bounded by the
+  * watermark (late rows beyond 1 hour are dropped deterministically).
+  */
+object EventStream {
+
+  /** Hourly tumbling-window counts/sums per event_type, streaming. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ → event-time LTZ
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the streaming query over a parquet directory as a bounded stream
+    * (one file per microbatch), returning the complete result — used by
+    * tests to assert streaming == batch.
+    */
+  def runBounded(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = hourlyAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("events_hourly")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table("events_hourly")
+  }
+}

@@ -305,6 +305,25 @@ object Synth {
       .mapPartitions(_.map(i => { val t = gen(seed, i, nStories); Doc(t.doc_id, t.input) }))
   }
 
+  /** Fused generate+extract in ONE mapPartitions (no Doc encoder
+    * round-trip). Chaining corpus() into Extract.run crosses a
+    * SerializeFromObject/DeserializeToObject boundary per doc whose cost
+    * was measured to dominate AND anti-scale with cores (2.7s@8 → 4.0s@32
+    * for 400k docs, vs 2.2s → 0.9s fused); for parquet input the single
+    * boundary is unavoidable and scales fine. Results are identical to
+    * Extract.run(corpus(...)) — asserted by PipelineSpec.
+    */
+  def extracted(spark: SparkSession, seed: Long, nDocs: Long,
+                partitions: Int = 32): Dataset[graft.model.ExtractedDoc] = {
+    import spark.implicits._
+    val nStories = math.max(8, (nDocs / 50).toInt)
+    spark.range(0, nDocs, 1, partitions)
+      .mapPartitions(_.flatMap { i =>
+        val t = gen(seed, i, nStories)
+        graft.extract.Extract.extractOne(Doc(t.doc_id, t.input))
+      })
+  }
+
   /** Ground-truth Dataset for fixture assertions. */
   def truths(spark: SparkSession, seed: Long, nDocs: Long,
              partitions: Int = 32): Dataset[Truth] = {

@@ -1,0 +1,133 @@
+package graft.tablefmt
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Checkpointed, resumable table writes with per-unit lineage
+  * (SURVEY.md §7.5; north_rule: "resumable from checkpoint with
+  * per-partition lineage + metrics"; deviation D5: no Iceberg jar in this
+  * sandbox, so the Iceberg contract — partitioned data files + a commit
+  * manifest consulted on restart — is emulated over Parquet).
+  *
+  * Layout:
+  * {{{
+  *   out/data/part_bucket=K/  (parquet files; one directory per commit unit)
+  *   out/_manifest/part-K.json  (sealed AFTER unit K's data commit)
+  * }}}
+  *
+  * The input is split into `buckets` commit units by a stable hash of the
+  * row key. Each unit is one Spark job (internally parallel over all
+  * executors); its manifest is sealed only after the job succeeds, with a
+  * temp-file + atomic-rename protocol. A killed run therefore leaves only
+  * fully-committed units' manifests; [[resume]] recomputes exactly the
+  * uncommitted units (dynamic partition overwrite scrubs any torn files
+  * from the killed attempt).
+  *
+  * Scale note: commit-unit count is a granularity knob, not a parallelism
+  * bound — each unit's job fans out over every executor. At 10^12 docs
+  * you pick O(100-1000) units so a restart loses ≤ 0.1-1% of work, while
+  * each unit is still a full-cluster job.
+  */
+object Checkpoint {
+
+  final case class UnitManifest(
+      bucket: Int,
+      inputFingerprint: Long,
+      nInput: Long,
+      nOutput: Long,
+      wallMs: Long,
+      attempt: Int,
+      status: String)
+
+  final case class WriteReport(unitsPlanned: Seq[Int], unitsSkipped: Seq[Int],
+                               unitsCommitted: Seq[Int])
+
+  def bucketOf(keyCol: String, buckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int")
+
+  private def manifestDir(out: String): Path = Paths.get(out, "_manifest")
+
+  def committedUnits(out: String): Set[Int] = {
+    val dir = manifestDir(out)
+    if (!Files.isDirectory(dir)) return Set.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("part-") && s.endsWith(".json") =>
+        s.stripPrefix("part-").stripSuffix(".json").toInt
+      }
+      .toSet
+  }
+
+  def readManifests(out: String): Seq[UnitManifest] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    committedUnits(out).toSeq.sorted.map { k =>
+      val n = mapper.readTree(manifestDir(out).resolve(s"part-$k.json").toFile)
+      UnitManifest(n.get("bucket").asInt(), n.get("input_fingerprint").asLong(),
+        n.get("n_input").asLong(), n.get("n_output").asLong(),
+        n.get("wall_ms").asLong(), n.get("attempt").asInt(),
+        n.get("status").asText())
+    }
+  }
+
+  private def sealManifest(out: String, m: UnitManifest): Unit = {
+    Files.createDirectories(manifestDir(out))
+    val json =
+      s"""{"bucket":${m.bucket},"input_fingerprint":${m.inputFingerprint},
+         |"n_input":${m.nInput},"n_output":${m.nOutput},
+         |"wall_ms":${m.wallMs},"attempt":${m.attempt},"status":"${m.status}"}"""
+        .stripMargin.replace("\n", "")
+    val tmp = manifestDir(out).resolve(s".part-${m.bucket}.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestDir(out).resolve(s"part-${m.bucket}.json"),
+      StandardCopyOption.ATOMIC_MOVE) // seal = atomic rename
+  }
+
+  /** Write `transform(input-slice)` per commit unit, skipping committed
+    * units. `input` must contain `keyCol`; `transform` maps a unit's rows
+    * to the output rows for that unit.
+    *
+    * @param failAtUnit test-only failpoint: throw before committing this
+    *                   unit (simulates a killed spark-submit)
+    */
+  def resume(spark: SparkSession, input: DataFrame, keyCol: String,
+             transform: DataFrame => DataFrame, out: String, buckets: Int,
+             failAtUnit: Option[Int] = None): WriteReport = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val done = committedUnits(out)
+    val planned = (0 until buckets).filterNot(done)
+    val withBucket = input.withColumn("part_bucket", bucketOf(keyCol, buckets))
+    val committed = planned.map { k =>
+      if (failAtUnit.contains(k))
+        throw new RuntimeException(s"failpoint: killed before unit $k")
+      val t0 = System.nanoTime()
+      val slice = withBucket.filter(col("part_bucket") === k)
+      // lineage: fingerprint of the unit's input keys (XOR of hashes —
+      // order/partitioning independent, overflow-free) + count, one pass
+      val fp = slice.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("fpxor")).head()
+      val nInput = fp.getLong(0)
+      val outRows = transform(slice.drop("part_bucket"))
+        .withColumn("part_bucket", lit(k))
+      outRows.write.mode(SaveMode.Overwrite)
+        .partitionBy("part_bucket")
+        .parquet(s"$out/data")
+      val nOutput = spark.read.parquet(s"$out/data")
+        .filter(col("part_bucket") === k).count()
+      val attempt = 1 // committed manifests are never re-attempted
+      sealManifest(out, UnitManifest(k, fp.getLong(1), nInput, nOutput,
+        (System.nanoTime() - t0) / 1000000, attempt, "committed"))
+      k
+    }
+    WriteReport(planned, done.toSeq.sorted, committed)
+  }
+
+  /** The committed table (only data under sealed manifests). */
+  def readCommitted(spark: SparkSession, out: String): DataFrame = {
+    val done = committedUnits(out)
+    spark.read.parquet(s"$out/data")
+      .filter(col("part_bucket").isin(done.toSeq: _*))
+  }
+}

@@ -104,6 +104,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(anyTop.toSeq == global)
   }
 
+  test("fused synth+extract equals chained corpus→extract") {
+    import spark.implicits._
+    val a = Synth.extracted(spark, seed, 500L)
+      .map(e => (e.doc_id, e.lang, e.title_norm, e.spans.map(x => (x.kind, x.text, x.media_ref, x.offset)).toSeq))
+      .collect().sortBy(_._1).toSeq
+    val b = Extract.run(Synth.corpus(spark, seed, 500L))
+      .map(e => (e.doc_id, e.lang, e.title_norm, e.spans.map(x => (x.kind, x.text, x.media_ref, x.offset)).toSeq))
+      .collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

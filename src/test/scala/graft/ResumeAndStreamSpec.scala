@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.tablefmt.Checkpoint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ResumeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def input: DataFrame = {
+    import spark.implicits._
+    (0 until 1000).map(i => (f"doc-$i%05d", s"text number $i")).toDF("doc_id", "text")
+  }
+
+  private val transform: DataFrame => DataFrame =
+    df => df.select(col("doc_id"), length(col("text")).as("n"))
+
+  test("kill-after-K resume recomputes only uncommitted units (SURVEY.md §5.2.5)") {
+    val out = Files.createTempDirectory("ckpt").toString
+    // attempt 1: killed before unit 5
+    val e = intercept[RuntimeException] {
+      Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 8,
+        failAtUnit = Some(5))
+    }
+    assert(e.getMessage.contains("failpoint"))
+    assert(Checkpoint.committedUnits(out) == Set(0, 1, 2, 3, 4))
+
+    // attempt 2: resume completes only 5..7
+    val r = Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 8)
+    assert(r.unitsSkipped == Seq(0, 1, 2, 3, 4))
+    assert(r.unitsCommitted == Seq(5, 6, 7))
+
+    // final table equals the uninterrupted run
+    val fresh = Files.createTempDirectory("ckpt2").toString
+    Checkpoint.resume(spark, input, "doc_id", transform, fresh, buckets = 8)
+    val a = Checkpoint.readCommitted(spark, out)
+      .select("doc_id", "n").collect().map(_.toString).sorted.toSeq
+    val b = Checkpoint.readCommitted(spark, fresh)
+      .select("doc_id", "n").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(a.size == 1000)
+
+    // attempt 3: everything already committed → no work
+    val r3 = Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 8)
+    assert(r3.unitsCommitted.isEmpty && r3.unitsSkipped.size == 8)
+  }
+
+  test("manifest lineage: fingerprints and counts recorded per unit") {
+    val out = Files.createTempDirectory("ckpt3").toString
+    Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
+    val ms = Checkpoint.readManifests(out)
+    assert(ms.map(_.bucket) == Seq(0, 1, 2, 3))
+    assert(ms.map(_.nInput).sum == 1000L)
+    assert(ms.map(_.nOutput).sum == 1000L)
+    assert(ms.forall(_.status == "committed"))
+    assert(ms.map(_.inputFingerprint).distinct.size == 4) // per-unit lineage
+  }
+}
+
+class StreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming hourly agg equals batch on the events table") {
+    // FileStreamSource needs a directory: stage the events file into one
+    val streamDir = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val batchDf = spark.read.parquet(streamDir.toString)
+    val batch = batchDf
+      .groupBy(date_trunc("hour", col("ts").cast("timestamp")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = EventStream.runBounded(spark, streamDir.toString, batchDf.schema)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}
