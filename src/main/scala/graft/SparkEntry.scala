@@ -177,6 +177,11 @@ object SparkEntry {
       Threads.ranked(Threads.threads(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
+    "ext_threads_near" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      Threads.ranked(Threads.threadsNear(Classify.run(extractedFor(s, d), bc)))
+        .select(col("title_norm"), col("size"))
+    }),
     "ext_top" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
       Threads.top(Threads.threads(Classify.run(extractedFor(s, d), bc)))

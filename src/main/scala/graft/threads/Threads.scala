@@ -45,6 +45,44 @@ object Threads {
       .filter(col("size") >= 2)
   }
 
+  /** Near-duplicate-title clustering: key = top-`bandBits` of
+    * simhash64(title tokens) — word-order-invariant (a token multiset
+    * property) and tolerant of low-bit drift from minor token changes.
+    * Same salted two-phase shape as [[threads]]; the exact title is kept
+    * as the representative (min = deterministic).
+    *
+    * This is the "simhash groupBy" half of the north_rule's
+    * normalized-title/simhash clustering (the exact-title key being the
+    * other half); at 10^12 docs the band groupBy is the recall lever:
+    * fewer band bits → coarser clusters, same shuffle shape.
+    */
+  def threadsNear(classified: Dataset[ClassifiedDoc], bandBits: Int = 48,
+                  k: Int = ArticleSampleK): DataFrame = {
+    import classified.sparkSession.implicits._
+    val keyed = classified.mapPartitions(_.map { d =>
+      val sh = graft.extract.TitleKey.simhash64(
+        graft.extract.TitleKey.tokens(d.title_norm))
+      (sh >>> (64 - bandBits), d.doc_id, d.title_norm, d.category)
+    }).toDF("cluster_key", "doc_id", "title_norm", "category")
+    val phase1 = keyed
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
+      .groupBy(col("cluster_key"), col("salt"))
+      .agg(
+        count(lit(1)).as("c"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample"),
+        min(col("title_norm")).as("title_norm"),
+        min(col("category")).as("category"))
+    phase1
+      .groupBy(col("cluster_key"))
+      .agg(
+        sum(col("c")).as("size"),
+        slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles"),
+        min(col("title_norm")).as("title_norm"),
+        min(col("category")).as("category"))
+      .filter(col("size") >= 2)
+      .drop("cluster_key")
+  }
+
   /** Threads ordered by size desc (reference: sort_by_thread_count,
     * glossary.rs:286-300), title asc as deterministic tie-break.
     */

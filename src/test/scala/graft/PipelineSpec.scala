@@ -104,6 +104,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(anyTop.toSeq == global)
   }
 
+  test("simhash-band clustering: reordered-word titles cluster together") {
+    import spark.implicits._
+    val a = (0 until 3).map(i => graft.model.ClassifiedDoc(f"a$i%02d", "en", "france signs major treaty today", "other", false, Map()))
+    val b = (0 until 3).map(i => graft.model.ClassifiedDoc(f"b$i%02d", "en", "major treaty today signs france", "other", false, Map()))
+    val c = Seq(graft.model.ClassifiedDoc("c00", "en", "completely unrelated quantum story", "", false, Map()))
+    val ds = spark.createDataset(a ++ b ++ c)
+    val got = graft.threads.Threads.threadsNear(ds)
+      .select($"size", $"articles").as[(Long, Seq[String])].collect()
+    // the two word-orderings share a simhash (token-multiset invariant) → one cluster of 6
+    assert(got.length == 1)
+    assert(got.head._1 == 6L)
+    assert(got.head._2.toSet == Set("a00","a01","a02","b00","b01","b02"))
+  }
+
   test("fused synth+extract equals chained corpus→extract") {
     import spark.implicits._
     val a = Synth.extracted(spark, seed, 500L)
