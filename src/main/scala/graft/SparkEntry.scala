@@ -28,7 +28,7 @@ object SparkEntry {
   /** Flagship: end-to-end extraction on sf0.001-scale synth corpus. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Extract.run(Synth.corpus(spark, 42L, 1000L))
+    Synth.extracted(spark, 42L, 1000L)
       .select($"doc_id", $"lang", $"title_norm", $"n_text_spans", $"n_media_spans")
   }
 
@@ -93,6 +93,21 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))),
+    "q11_sessionize" -> ((s, d) => {
+      // session = run of events per user with gaps ≤ 30 min; classic
+      // lag+cumsum sessionization (one shuffle on user_id)
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("gap_s", col("epoch_s") - lag(col("epoch_s"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
 
     // ---- text analysis over documents ---------------------------------
     "doc_token_count" -> ((s, d) =>
@@ -234,6 +249,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q11_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |  CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id,
+        |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
     "doc_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         |ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens

@@ -33,7 +33,7 @@ object Main {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val verb = args(0)
     val opts = parseOpts(args.drop(1))
-    if (!Set("languages", "news", "categories", "threads", "top").contains(verb)) {
+    if (!Set("languages", "news", "categories", "threads", "top", "debug").contains(verb)) {
       System.err.println(s"unknown verb: $verb\n$usage"); sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,7 +56,7 @@ object Main {
     }.toMap
 
   private val usage =
-    "usage: Main languages|news|categories|threads|top [--input dir] [--synth nDocs] [--out dir] [--buckets n]"
+    "usage: Main languages|news|categories|threads|top|debug [--input dir] [--synth nDocs] [--out dir] [--buckets n]"
 
   private def inputDocs(spark: SparkSession, opts: Map[String, String]): Dataset[Doc] = {
     import spark.implicits._
@@ -125,6 +125,29 @@ object Main {
           }
           println(frames.mkString("[\n", ",\n", "\n]"))
         }
+
+      case "debug" =>
+        // counters + stage timings (reference: src/main.rs:159-187)
+        val t0 = System.nanoTime()
+        val nInput = docs.count()
+        val t1 = System.nanoTime()
+        val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+        val classified = Classify.run(Extract.run(docs), bc).cache()
+        val nKept = classified.count()
+        val t2 = System.nanoTime()
+        val byLang = classified.groupByKey(_.lang).count().collect().toMap
+        val nNews = classified.filter(_.is_news).count()
+        val nTitles = classified.map(_.title_norm).distinct().count()
+        val nThreads = Threads.threads(classified).count()
+        val t3 = System.nanoTime()
+        def ms(a: Long, b: Long) = (b - a) / 1000000
+        println(
+          s"""{"n_input": $nInput, "n_kept": $nKept, "n_en": ${byLang.getOrElse("en", 0L)}, """ +
+          s""""n_ru": ${byLang.getOrElse("ru", 0L)}, "n_news": $nNews, """ +
+          s""""n_distinct_titles": $nTitles, "n_threads": $nThreads, """ +
+          s""""scan_ms": ${ms(t0, t1)}, "extract_classify_ms": ${ms(t1, t2)}, """ +
+          s""""threads_ms": ${ms(t2, t3)}}""")
+        classified.unpersist()
 
       case "threads" | "top" =>
         val bc = spark.sparkContext.broadcast(Classify.loadDicts())
