@@ -158,6 +158,13 @@ object SparkEntry {
       Similarity.lshBucketTopK(s, emb, queries, k = 5, nBits = 6)
         .select(col("q_id"), col("vec_id"), col("rank"))
     }),
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.ivfTopK(s, emb, queries, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+    }),
     "emb_cosine_dup" -> ((s, d) =>
       Similarity.cosineDupPairs(s, t(s, d, "embeddings"), minSim = 0.4, nBits = 8)
         .select(col("id_a"), col("id_b"))),

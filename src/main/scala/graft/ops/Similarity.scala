@@ -142,6 +142,99 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** Column-expression cosine similarity via zip_with + aggregate — the
+    * pure-SQL twin of the kernel dot product (usable from spark.sql, no
+    * UDF registration; the typed kernels remain the hot path).
+    */
+  def cosineExpr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** IVF (inverted-file) ANN: coarse k-means centroids partition the
+    * corpus; a query probes only its `nProbe` nearest centroids' lists.
+    *
+    * The centroid set is tiny (nCentroids × dim floats) and driver-held /
+    * broadcast; training is `iters` rounds of Lloyd's over the corpus —
+    * each round ONE map (assign) + ONE balanced groupBy (mean), i.e.
+    * O(iters) scans at 10^12 scale, done once offline. Search shuffles
+    * nothing: assignments are a narrow map, candidate lists meet queries
+    * in a broadcast join on centroid id.
+    */
+  def kmeansCentroids(spark: SparkSession, corpus: DataFrame, nCentroids: Int,
+                      iters: Int, seed: Long = 42L): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // deterministic init: hash-sampled rows as seeds
+    var centroids: Array[Array[Float]] = vecs
+      .filter(v => (Sketches.fnv64(s"$seed:${v._1}") & 0x7fffffffL) % 97 < 7)
+      .take(nCentroids).map(_._2)
+    require(centroids.nonEmpty, "kmeans init: empty sample")
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = vecs.map { case (_, emb) =>
+        val cs = bc.value
+        var best = 0; var bestSim = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          val s = dotNorm(cs(i), emb)
+          if (s > bestSim) { bestSim = s; best = i }
+          i += 1
+        }
+        (best, emb)
+      }
+      // mean per centroid: map-side-combinable sum/count over fixed-dim arrays
+      val sums = assigned.groupByKey(_._1)
+        .mapGroups { (cid, rows) =>
+          var n = 0L; var acc: Array[Double] = null
+          rows.foreach { case (_, e) =>
+            if (acc == null) acc = new Array[Double](e.length)
+            var i = 0
+            while (i < e.length && i < acc.length) { acc(i) += e(i); i += 1 }
+            n += 1
+          }
+          (cid, acc.map(x => (x / n).toFloat))
+        }.collect()
+      val updated = centroids.clone()
+      sums.foreach { case (cid, c) => updated(cid) = c }
+      centroids = updated
+      it += 1
+    }
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** IVF search: assign corpus once, probe `nProbe` centroid lists. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val centroids = kmeansCentroids(spark, corpus, nCentroids, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    def nearestCentroids(emb: Array[Float], n: Int): Seq[Int] =
+      bc.value.map { case (i, c) => (i, dotNorm(c, emb)) }
+        .sortBy { case (i, s) => (-s, i) }.take(n).map(_._1).toSeq
+    val assigned = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (nearestCentroids(e, 1).head, id, e) }
+      .toDF("cid", "vec_id", "embedding")
+    val probes = queries.select(col("q_id").cast("long"), col("embedding").as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, e) => nearestCentroids(e, nProbe).map(c => (c, qid, e)) }
+      .toDF("cid", "q_id", "q_emb")
+    val simUdf = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cid")
+      .withColumn("sim", simUdf(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine ≥ `minSim`
     * within an LSH bucket (the embedding-space analogue of minhash dedup).
     */
