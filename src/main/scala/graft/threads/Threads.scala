@@ -58,12 +58,15 @@ object Threads {
     */
   def threadsNear(classified: Dataset[ClassifiedDoc], bandBits: Int = 48,
                   k: Int = ArticleSampleK): DataFrame = {
-    import classified.sparkSession.implicits._
-    val keyed = classified.mapPartitions(_.map { d =>
-      val sh = graft.extract.TitleKey.simhash64(
-        graft.extract.TitleKey.tokens(d.title_norm))
-      (sh >>> (64 - bandBits), d.doc_id, d.title_norm, d.category)
-    }).toDF("cluster_key", "doc_id", "title_norm", "category")
+    // native codegen expression (graft.functions.SimHash64Title): the key
+    // is computed inside the scan's WholeStageCodegen loop — no encoder
+    // boundary, no ScalaUDF ser/de
+    val keyed = classified.toDF()
+      .select(
+        shiftrightunsigned(
+          graft.functions.GraftFunctions.simhash64_title(col("title_norm")),
+          64 - bandBits).as("cluster_key"),
+        col("doc_id"), col("title_norm"), col("category"))
     val phase1 = keyed
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
       .groupBy(col("cluster_key"), col("salt"))

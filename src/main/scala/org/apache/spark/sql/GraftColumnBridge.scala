@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made the converters
+  * (`classic.ExpressionUtils`) package-private; extensions that define
+  * native expressions conventionally expose them via a small shim in the
+  * `org.apache.spark.sql` package.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
