@@ -113,6 +113,9 @@ object SparkEntry {
     "doc_token_count" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "doc_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
     "doc_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("lang_pred"))),
@@ -142,6 +145,10 @@ object SparkEntry {
         .select(col("doc_id_a"), col("doc_id_b"),
           round(col("jaccard"), 4).as("jaccard"))
     }),
+
+    "doc_neardup_groups" -> ((s, d) =>
+      graft.ops.Dedup.nearDupGroups(t(s, d, "documents"))
+        .select(col("component"), col("n_members"))),
 
     // ---- similarity search over embeddings (rows-only: float scores) --
     "ann_brute_topk" -> ((s, d) => {
@@ -269,6 +276,10 @@ object SparkEntry {
     "doc_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         |ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
+    "doc_bpe_tokens" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
     "doc_langid" ->
       """SELECT doc_id, CASE

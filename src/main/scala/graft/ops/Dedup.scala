@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-graph clustering: candidate pairs (from minhash/simhash LSH)
+  * form an undirected graph; true dedup groups are its connected
+  * components (a pair (a,b) and a pair (b,c) must merge into {a,b,c} even
+  * if (a,c) never surfaced in any LSH bucket).
+  *
+  * Algorithm: min-label propagation — every node repeatedly adopts the
+  * smallest label among itself and its neighbors, until a fixed point.
+  * Each round is one join + one groupBy (both on uniformly-hashed ids, so
+  * balanced); rounds needed = graph diameter, which for near-dup graphs
+  * is tiny (dup clusters are dense cliques-ish, diameter ≤ ~3). A
+  * convergence count() gates each round — O(diameter) actions total.
+  * This is the two-join core of the large-star/small-star CC family
+  * (Kiveris et al.), simplified for small-diameter dup graphs.
+  */
+object Dedup {
+
+  /** @param pairs (a, b) candidate edges, any orientation, dups ok
+    * @return (member, component) — component = min member id
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("b", "a").select(col("a"), col("b")))
+      .distinct()
+      .cache()
+    // labels: node → current component label (start: itself)
+    // localCheckpoint per round truncates lineage — without it the nested
+    // plan grows exponentially with iterations (explain/codegen OOM)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "b2").withColumnRenamed("label", "nlabel"),
+          col("b") === col("b2"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nlabel")).as("minNeighbor"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("member"), col("label").as("component"))
+  }
+
+  /** Full near-dup pipeline: LSH candidates → Jaccard verify →
+    * connected components → groups with sizes + bounded member sample.
+    */
+  def nearDupGroups(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.5,
+                    sampleK: Int = 10): DataFrame = {
+    val cand = Sketches.minhashDupGroups(docs, shingleN, sampleK = sampleK)
+      .select(col("doc_ids"), explode(col("doc_ids")).as("a"))
+      .select(col("a"), explode(col("doc_ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val verified = Sketches.jaccardVerify(docs, cand.toDF("doc_id_a", "doc_id_b"),
+      shingleN, minJaccard)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    connectedComponents(verified)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        slice(sort_array(collect_list(col("member"))), 1, sampleK).as("members"))
+      .filter(col("n_members") >= 2)
+  }
+}

@@ -52,6 +52,14 @@ object TextOps {
     )
   }
 
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alnum-non-space marks — the class-run approximation of a GPT-2
+    * style pre-tokenizer, chosen so the regex means the same thing in
+    * Spark (regexp_count) and DuckDB RE2 (len(regexp_extract_all)).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
   /** Document fingerprint: md5 of lowercased, whitespace-normalized text.
     * md5 is bit-identical across Spark and DuckDB → oracle-checkable.
     */

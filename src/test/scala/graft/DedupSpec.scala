@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connected components merge transitive dup pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star), 30 isolated-by-pair-with-self? no — 30 absent
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(10L,11L),(20L,21L),(20L,22L)).toDF("a","b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L && got(4L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L && got(22L) == 20L)
+    assert(!got.contains(30L))
+  }
+
+  test("long chain converges (diameter > 2)") {
+    import spark.implicits._
+    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a","b")
+    val got = Dedup.connectedComponents(chain, maxIters = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 20)
+  }
+
+  test("near-dup pipeline finds groups on documents with real dups") {
+    import spark.implicits._
+    // fabricate docs: 3 exact-ish copies + 2 unrelated
+    val base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, "prefix " + base),
+      (10L, "completely different words about quantum telescopes and asteroids"),
+      (11L, "another unrelated piece of text mentioning markets and budgets")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroups(docs, minJaccard = 0.3)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(groups.length == 1)
+    assert(groups.head._3.toSet == Set(1L, 2L, 3L))
+  }
+}

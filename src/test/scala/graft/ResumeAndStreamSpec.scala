@@ -67,6 +67,34 @@ class ResumeSpec extends AnyFunSuite {
 
 class StreamSpec extends AnyFunSuite {
 
+  // streaming extraction: the ingest-time path — same mapPartitions kernel
+  // over a readStream source must equal the batch result
+  test("streaming extraction equals batch over a staged corpus") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("docs_stream")
+    graft.synth.Synth.corpus(spark, 42L, 200L, partitions = 4)
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+      .as[graft.model.Doc]
+    val q = graft.extract.Extract.run(stream)
+      .map(e => (e.doc_id, e.lang, e.title_norm, e.spans.length))
+      .toDF("doc_id", "lang", "title_norm", "n_spans")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("extract_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("extract_stream").collect().map(_.toString).sorted.toSeq
+    val batch = graft.extract.Extract.run(
+      spark.read.parquet(dir.toString).as[graft.model.Doc])
+      .map(e => (e.doc_id, e.lang, e.title_norm, e.spans.length))
+      .toDF("doc_id", "lang", "title_norm", "n_spans")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
