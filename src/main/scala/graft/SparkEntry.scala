@@ -211,6 +211,12 @@ object SparkEntry {
       Threads.ranked(Threads.threadsNear(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
+    "ext_entities" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      Classify.run(extractedFor(s, d), bc).toDF()
+        .select(explode(col("entities")).as(Seq("class", "words")))
+        .groupBy(col("class")).agg(count(lit(1)).as("n_docs"))
+    }),
     "ext_top" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
       Threads.top(Threads.threads(Classify.run(extractedFor(s, d), bc)))

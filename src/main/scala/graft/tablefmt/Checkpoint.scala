@@ -124,6 +124,30 @@ object Checkpoint {
     WriteReport(planned, done.toSeq.sorted, committed)
   }
 
+  /** Lineage audit: recompute each committed unit's input fingerprint and
+    * compare against its sealed manifest — detects input drift between a
+    * kill and a resume (a unit whose input changed would silently keep
+    * stale output otherwise). Opt-in: costs one scan of the input.
+    * Returns the buckets whose fingerprints no longer match.
+    */
+  def validateCommitted(spark: SparkSession, input: DataFrame, keyCol: String,
+                        out: String, buckets: Int): Seq[Int] = {
+    val manifests = readManifests(out).map(m => m.bucket -> m).toMap
+    if (manifests.isEmpty) return Seq.empty
+    val current = input
+      .withColumn("part_bucket", bucketOf(keyCol, buckets))
+      .filter(col("part_bucket").isin(manifests.keys.toSeq: _*))
+      .groupBy(col("part_bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("fpxor"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    manifests.collect {
+      case (k, m) if current.get(k).forall { case (n, fp) =>
+        n != m.nInput || fp != m.inputFingerprint } => k
+    }.toSeq.sorted
+  }
+
   /** The committed table (only data under sealed manifests). */
   def readCommitted(spark: SparkSession, out: String): DataFrame = {
     val done = committedUnits(out)

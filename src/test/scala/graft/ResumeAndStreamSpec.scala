@@ -53,6 +53,18 @@ class ResumeSpec extends AnyFunSuite {
     assert(r3.unitsCommitted.isEmpty && r3.unitsSkipped.size == 8)
   }
 
+  test("lineage audit: input drift after commit is detected") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ckpt4").toString
+    Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
+    // unchanged input → no drift
+    assert(Checkpoint.validateCommitted(spark, input, "doc_id", out, 4).isEmpty)
+    // drop some rows → the affected buckets flag
+    val drifted = input.filter(col("doc_id") =!= "doc-00007")
+    val bad = Checkpoint.validateCommitted(spark, drifted, "doc_id", out, 4)
+    assert(bad.nonEmpty)
+  }
+
   test("manifest lineage: fingerprints and counts recorded per unit") {
     val out = Files.createTempDirectory("ckpt3").toString
     Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)

@@ -52,6 +52,25 @@ class SpanFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("robustness: null/garbage input spans never throw") {
+    import graft.model.{Doc, Span}
+    val cases = Seq(
+      Doc("d1", null),
+      Doc("d2", Array.empty),
+      Doc("d3", Array(Span("html", null, null, 0))),
+      Doc("d4", Array(Span("media", null, null, 0))),
+      Doc("d5", Array(Span("html", "<h1>ok</h1>", "", 5),
+                      Span("html", "<p>the rest of it</p>", "", 2))), // out-of-order offsets
+      Doc("d6", Array(Span("weird-kind", "x", "", 0))))
+    cases.foreach(Extract.extractOne) // must not throw
+    // out-of-order offsets are sorted before fusing
+    val d5 = Extract.extractOne(Doc("d5", Array(
+      Span("html", "<p>the second block of words here</p>", "", 1),
+      Span("html", "<h1>the first title</h1>", "", 0))))
+    assert(d5.isDefined)
+    assert(d5.get.spans.head.text == "the first title")
+  }
+
   test("generation is pure: same (seed, idx) → identical doc and truth") {
     val a = Synth.gen(seed, 7L, nStories)
     val b = Synth.gen(seed, 7L, nStories)
