@@ -67,6 +67,31 @@ object Multimodal {
     })
   }
 
+  final case class ResizedMedia(doc_id: Long, kind: String, width: Int,
+                                height: Int, payload: Array[Byte])
+
+  /** Resize-shaped pass: binary in → binary out, batched per partition —
+    * the executor-memory-bounded shape of a real thumbnailer. The pixel
+    * work is the deterministic STUB (no codecs in this sandbox): output
+    * payload = truncated input + an 8-byte header derived from the target
+    * box, so tests can assert size/metadata behavior.
+    */
+  def resizeStub(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, _) = decodeStub(row.kind, row.payload)
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+      val outLen = math.max(8, (row.payload.length * scale * scale).toInt)
+      val out = new Array[Byte](outLen)
+      out(0) = (nw >> 8).toByte; out(1) = nw.toByte
+      out(2) = (nh >> 8).toByte; out(3) = nh.toByte
+      System.arraycopy(row.payload, 0, out, 8,
+        math.min(row.payload.length, outLen - 8))
+      ResizedMedia(row.doc_id, row.kind, nw, nh, out)
+    })
+  }
+
   /** Frame-sampling plan for videos: every `stride`-th frame index, as a
     * (doc_id, frame_idx) table — the fan-out shape of a real frame
     * extractor (1 video row → N frame rows via explode, not a driver loop).
