@@ -25,6 +25,13 @@ class BucketingSpec extends AnyFunSuite {
   test("groupBy on the bucket column has no Exchange; unbucketed does") {
     import spark.implicits._
     val docs = (0 until 1000).map(i => (f"t${i % 97}%03d", f"doc$i%04d")).toDF("title_norm", "doc_id")
+    // the suite may share a session whose warehouse dir differs from this
+    // spec's config — drop any prior table AND its location first
+    spark.sql("DROP TABLE IF EXISTS classified_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "classified_bucketed")
+    if (loc.exists) { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(loc) }
     docs.write.mode("overwrite")
       .bucketBy(8, "title_norm").sortBy("title_norm")
       .saveAsTable("classified_bucketed")
