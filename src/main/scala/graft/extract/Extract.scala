@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.html.{DomBuilder, SpanEmitter, Tokenizer}
+import graft.html.{SpanEmitter, StreamEmitter, Tokenizer}
 import graft.lang.LangId
 import graft.model.{Doc, ExtractedDoc, Span}
 import org.apache.spark.sql.Dataset
@@ -51,8 +51,9 @@ object Extract {
   def extractOne(doc: Doc): Option[ExtractedDoc] = {
     if (doc.spans == null || doc.spans.isEmpty) return None
     val fused = fuse(doc.spans)
-    val dom = DomBuilder.build(Tokenizer.tokenize(fused.stream))
-    val res = SpanEmitter.emit(dom, fused.media)
+    // single-pass streaming emitter (== DOM-walk SpanEmitter, asserted by
+    // StreamEquivalenceSpec; the DOM path remains the executable spec)
+    val res = StreamEmitter.emit(Tokenizer.tokenize(fused.stream), fused.media)
     // No <h1> → no title → dropped, reference-faithful (src/parser.rs:136-146,
     // Q9: title defaults to "1", fails language detect, row dropped).
     if (res.title.isEmpty) return None
