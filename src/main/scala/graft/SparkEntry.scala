@@ -109,6 +109,26 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    "q12_percentiles" -> ((s, d) => {
+      // discrete (index-based) percentiles: raw stored values, no
+      // interpolation arithmetic → bit-identical across engines. The
+      // collect_list form is the small-group correctness query; the scale
+      // path is percentile_approx (bounded sketch).
+      val sorted = sort_array(collect_list(col("l_extendedprice")))
+      def at(q: Double) =
+        element_at(sorted, ceil(count(lit(1)) * q).cast("int"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(at(0.5).as("p50"), at(0.9).as("p90"),
+          round(max(col("l_extendedprice")), 2).as("mx"))
+    }),
+    "q13_rollup" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("n_name"), col("n_customers"))),
+
     // ---- text analysis over documents ---------------------------------
     "doc_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -283,6 +303,16 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         |ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
+    "q12_percentiles" ->
+      """SELECT l_returnflag,
+        |(array_agg(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(0.5*count(*)) AS INT)] AS p50,
+        |(array_agg(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(0.9*count(*)) AS INT)] AS p90,
+        |round(max(l_extendedprice), 2) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name)""".stripMargin,
     "doc_bpe_tokens" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
