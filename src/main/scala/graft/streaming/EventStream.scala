@@ -24,6 +24,29 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stateful streaming: running event counts/value sums per event_type
+    * via mapGroupsWithState — the custom-state API
+    * (KeyValueGroupedDataset) the engine uses where windowed aggs can't
+    * express the semantics. Update-mode output: one row per key per
+    * microbatch with the accumulated totals.
+    */
+  def runningTotals(events: DataFrame): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (key, n, v)
+      }
+  }
+
   /** Run the streaming query over a parquet directory as a bounded stream
     * (one file per microbatch), returning the complete result — used by
     * tests to assert streaming == batch.

@@ -114,6 +114,30 @@ class StreamSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("stateful mapGroupsWithState running totals equal batch aggregates") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("events_state")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.runningTotals(stream)
+      .toDF("event_type", "n", "v")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running_totals").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per key == the batch totals
+    val got = spark.table("running_totals")
+      .groupBy($"event_type").agg(max($"n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = spark.read.parquet(dir.toString)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("streaming hourly agg equals batch on the events table") {
     // FileStreamSource needs a directory: stage the events file into one
     val streamDir = Files.createTempDirectory("events_stream")

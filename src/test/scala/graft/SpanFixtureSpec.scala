@@ -71,6 +71,21 @@ class SpanFixtureSpec extends AnyFunSuite {
     assert(d5.get.spans.head.text == "the first title")
   }
 
+  test("robustness: pathological inputs (deep nesting, huge doc) via the hot path") {
+    import graft.model.{Doc, Span}
+    // 200k-deep nesting: the streaming emitter is iterative — no stack overflow
+    val deep = new StringBuilder("<h1>the deep title</h1>")
+    (0 until 200000).foreach(_ => deep.append("<div>"))
+    deep.append("the english text with the stopwords in it")
+    val r = Extract.extractOne(Doc("deep", Array(Span("html", deep.toString, "", 0))))
+    assert(r.isDefined && r.get.title_norm == "the deep title")
+    // ~6 MB single doc: linear time, no throw
+    val big = new StringBuilder("<h1>the big title</h1>")
+    (0 until 50000).foreach(i => big.append(s"<p>the paragraph number $i of the test with more of the words</p>"))
+    val rb = Extract.extractOne(Doc("big", Array(Span("html", big.toString, "", 0))))
+    assert(rb.isDefined && rb.get.n_text_spans == 50001)
+  }
+
   test("generation is pure: same (seed, idx) → identical doc and truth") {
     val a = Synth.gen(seed, 7L, nStories)
     val b = Synth.gen(seed, 7L, nStories)
