@@ -87,6 +87,8 @@ object Glossary {
   * single-token term (12 ≥ 8, 9) while games needs a full multi-token
   * phrase (SURVEY.md §7.4).
   */
+final case class Hit(theme: String, word: String, score: Int)
+
 final class TermIndex(val themes: Array[String], termsByTheme: Array[Array[String]])
     extends Serializable {
 
@@ -122,8 +124,6 @@ final class TermIndex(val themes: Array[String], termsByTheme: Array[Array[Strin
     tmp.foreach { case (k, v) => m.put(k, v.result()) }
     m
   }
-
-  final case class Hit(theme: String, word: String, score: Int)
 
   /** Best hit per theme for a tokenized, normalized title. */
   def matchTokens(tokens: Array[String]): Map[String, Hit] = {
