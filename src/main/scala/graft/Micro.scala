@@ -27,6 +27,7 @@ object Micro {
     val doms = toks.map(DomBuilder.build)
     time("emit     ", 5)(doms.zip(fused).foreach { case (d, f) => SpanEmitter.emit(d, f.media) })
     time("emitStream", 5)(toks.zip(fused).foreach { case (t, f) => graft.html.StreamEmitter.emit(t, f.media) })
+    time("tok+emitFused", 5)(fused.foreach(f => graft.html.StreamEmitter.emitStreaming(f.stream, f.media)))
     val emits = doms.zip(fused).map { case (d, f) => SpanEmitter.emit(d, f.media) }
     time("langid   ", 5)(emits.foreach { r =>
       val lead = r.spans.iterator.filter(_.kind == "text").map(_.text).take(3).mkString(" ")

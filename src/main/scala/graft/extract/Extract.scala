@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.html.{SpanEmitter, StreamEmitter, Tokenizer}
+import graft.html.StreamEmitter
 import graft.lang.LangId
 import graft.model.{Doc, ExtractedDoc, Span}
 import org.apache.spark.sql.Dataset
@@ -51,9 +51,9 @@ object Extract {
   def extractOne(doc: Doc): Option[ExtractedDoc] = {
     if (doc.spans == null || doc.spans.isEmpty) return None
     val fused = fuse(doc.spans)
-    // single-pass streaming emitter (== DOM-walk SpanEmitter, asserted by
+    // fused tokenizer→emitter (== DOM-walk SpanEmitter, asserted by
     // StreamEquivalenceSpec; the DOM path remains the executable spec)
-    val res = StreamEmitter.emit(Tokenizer.tokenize(fused.stream), fused.media)
+    val res = StreamEmitter.emitStreaming(fused.stream, fused.media)
     // No <h1> → no title → dropped, reference-faithful (src/parser.rs:136-146,
     // Q9: title defaults to "1", fails language detect, row dropped).
     if (res.title.isEmpty) return None

@@ -47,7 +47,31 @@ object StreamEmitter {
   private final val FMediaRoot = 16 // opened the media-skip region
   private final val FFlush = 32 // structural flow frame: flush run on close
 
+  /** Buffered form (tests): replay collected tokens into the machine. */
   def emit(toks: ArrayBuffer[Tok], mediaTable: Array[(String, String)]): SpanEmitter.Result = {
+    val m = new Machine(mediaTable)
+    var ti = 0
+    while (ti < toks.length) {
+      toks(ti) match {
+        case Text(d) => m.onText(d)
+        case StartTag(n, a, sc) => m.onStartTag(n, a, sc)
+        case EndTag(n) => m.onEndTag(n)
+      }
+      ti += 1
+    }
+    m.finish()
+  }
+
+  /** Fused hot path: tokenizer events drive the machine directly — no
+    * token buffer, no Tok allocation.
+    */
+  def emitStreaming(html: String, mediaTable: Array[(String, String)]): SpanEmitter.Result = {
+    val m = new Machine(mediaTable)
+    Tokenizer.stream(html, m)
+    m.finish()
+  }
+
+  private final class Machine(mediaTable: Array[(String, String)]) extends TokenSink {
     val out = new ArrayBuffer[Span](16)
     var lastH1 = ""
 
@@ -171,10 +195,7 @@ object StreamEmitter {
       }
     }
 
-    var ti = 0
-    while (ti < toks.length) {
-      toks(ti) match {
-        case Text(d) =>
+    def onText(d: String): Unit = {
           if (boilerDepth == 0) {
             if (inBlock) {
               // all nested text joins the block (incl. inside nested media,
@@ -189,8 +210,9 @@ object StreamEmitter {
               run.append(d).append(' ')
             }
           }
+    }
 
-        case StartTag(name, attrs, selfClosing) =>
+    def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
           if (ClosesP.contains(name) && names.nonEmpty && names.last == "p") closeByName("p")
           if (SelfNesting.contains(name) && names.nonEmpty && names.last == name) closeByName(name)
 
@@ -268,13 +290,16 @@ object StreamEmitter {
             }
           }
 
-        case EndTag(name) =>
-          if (!DomBuilder.Void.contains(name)) closeByName(name)
-      }
-      ti += 1
     }
-    while (names.nonEmpty) popOne()
-    flushRun()
-    SpanEmitter.Result(out.toArray, lastH1)
+
+    def onEndTag(name: String): Unit = {
+          if (!DomBuilder.Void.contains(name)) closeByName(name)
+    }
+
+    def finish(): SpanEmitter.Result = {
+      while (names.nonEmpty) popOne()
+      flushRun()
+      SpanEmitter.Result(out.toArray, lastH1)
+    }
   }
 }

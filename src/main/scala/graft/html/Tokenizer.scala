@@ -15,22 +15,44 @@ final case class StartTag(name: String, attrs: List[(String, String)], selfClosi
 final case class EndTag(name: String) extends Tok
 final case class Text(data: String) extends Tok
 
+/** Push-mode consumer for [[Tokenizer.stream]] — the zero-buffer path the
+  * extraction kernel runs on (no Tok boxing, no token ArrayBuffer).
+  */
+trait TokenSink {
+  def onText(decoded: String): Unit
+  def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
+  def onEndTag(name: String): Unit
+}
+
 object Tokenizer {
 
   /** Elements whose content is raw text (no nested markup). */
   private val RawText = Set("script", "style")
 
-  /** Tokenize `html`. Never throws; on truncated input, emits what it has. */
+  /** Buffering form (spec path / tests): collects [[stream]]'s events. */
   def tokenize(html: String): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
-    if (html == null) return out
+    stream(html, new TokenSink {
+      def onText(d: String): Unit = out += Text(d)
+      def onStartTag(n: String, a: List[(String, String)], sc: Boolean): Unit =
+        out += StartTag(n, a, sc)
+      def onEndTag(n: String): Unit = out += EndTag(n)
+    })
+    out
+  }
+
+  /** Tokenize `html`, pushing events into `sink`. Never throws; on
+    * truncated input, emits what it has.
+    */
+  def stream(html: String, sink: TokenSink): Unit = {
+    if (html == null) return
     val n = html.length
     var i = 0
     val text = new java.lang.StringBuilder(256)
 
     def flushText(): Unit = {
       if (text.length > 0) {
-        out += Text(text.toString)
+        sink.onText(Entities.decode(text.toString))
         text.setLength(0)
       }
     }
@@ -66,7 +88,7 @@ object Tokenizer {
             val name = html.substring(ns, j).toLowerCase
             while (j < n && html.charAt(j) != '>') j += 1
             i = if (j < n) j + 1 else n
-            out += EndTag(name)
+            sink.onEndTag(name)
           } else { // "</3" etc. — literal text
             text.append(c); i += 1
           }
@@ -125,7 +147,7 @@ object Tokenizer {
             }
           }
           i = j
-          out += StartTag(name, attrs.reverse, selfClosing)
+          sink.onStartTag(name, attrs.reverse, selfClosing)
           // raw-text elements: consume until matching close tag, drop content
           if (!selfClosing && RawText.contains(name)) {
             val closer = "</" + name
@@ -135,7 +157,7 @@ object Tokenizer {
               var g = e + closer.length
               while (g < n && html.charAt(g) != '>') g += 1
               i = if (g < n) g + 1 else n
-              out += EndTag(name)
+              sink.onEndTag(name)
             }
           }
         } else { // '<' followed by junk — literal
@@ -146,16 +168,6 @@ object Tokenizer {
       }
     }
     flushText()
-    // decode entities in text tokens in place
-    var t = 0
-    while (t < out.length) {
-      out(t) match {
-        case Text(d) => out(t) = Text(Entities.decode(d))
-        case _       =>
-      }
-      t += 1
-    }
-    out
   }
 
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {

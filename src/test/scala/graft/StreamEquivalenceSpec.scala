@@ -13,7 +13,10 @@ class StreamEquivalenceSpec extends AnyFunSuite {
   private def both(html: String) = {
     val toks = Tokenizer.tokenize(html)
     val dom = SpanEmitter.emit(DomBuilder.build(toks), Array.empty)
-    val str = StreamEmitter.emit(toks, Array.empty)
+    val str = StreamEmitter.emitStreaming(html, Array.empty) // the fused hot path
+    val buffered = StreamEmitter.emit(toks, Array.empty)
+    assert(str.title == buffered.title)
+    assert(str.spans.toSeq == buffered.spans.toSeq)
     (dom, str)
   }
 
