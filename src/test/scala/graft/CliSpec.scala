@@ -1,0 +1,66 @@
+package graft
+
+import graft.cli.Main
+import graft.synth.Synth
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI verbs produce the reference's JSON shapes with contents matching
+  * ground truth (printer.rs:6-62 framing; glossary.rs:218-278 shapes).
+  */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def runVerb(verb: String, n: Long): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, verb, Map("synth" -> n.toString))
+    }
+    buf.toString("UTF-8")
+  }
+
+  test("languages: two frames (en, ru), article sets match ground truth") {
+    val out = runVerb("languages", 500L)
+    val node = mapper.readTree(out)
+    assert(node.isArray && node.size == 2)
+    assert(node.get(0).get("lang_code").asText == "en")
+    assert(node.get(1).get("lang_code").asText == "ru")
+    val gotEn = (0 until node.get(0).get("articles").size)
+      .map(node.get(0).get("articles").get(_).asText).toSet
+    val truths = Synth.truths(spark, 42L, 500L).collect()
+    val wantEn = truths.filter(t => t.kept && t.lang == "en").map(_.doc_id).toSet
+    assert(gotEn == wantEn)
+    val gotRu = (0 until node.get(1).get("articles").size)
+      .map(node.get(1).get("articles").get(_).asText).toSet
+    assert(gotRu == truths.filter(t => t.kept && t.lang == "ru").map(_.doc_id).toSet)
+  }
+
+  test("news and categories: valid JSON, news ⊆ categorized docs") {
+    val news = mapper.readTree(runVerb("news", 500L))
+    assert(news.get("articles").isArray)
+    assert(news.get("articles").size > 0)
+    val cats = mapper.readTree(runVerb("categories", 500L))
+    assert(cats.isArray && cats.size > 0)
+    val catNames = (0 until cats.size).map(cats.get(_).get("category").asText)
+    assert(catNames == catNames.sorted)
+    assert(catNames.forall(Set("society", "economy", "technology", "sports",
+      "entertainment", "science", "other").contains))
+  }
+
+  test("threads: ≥2-member clusters sorted by size desc; top leads with 'any'") {
+    val th = mapper.readTree(runVerb("threads", 800L))
+    assert(th.isArray && th.size > 0)
+    val sizes = (0 until th.size).map(th.get(_).get("articles").size)
+    assert(sizes.forall(_ >= 2))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    val top = mapper.readTree(runVerb("top", 800L))
+    assert(top.get(0).get("category").asText == "any")
+  }
+}
