@@ -156,6 +156,8 @@ object SparkEntry {
       Sketches.minhashDupGroups(t(s, d, "documents"))),
     "doc_simhash_dedup" -> ((s, d) =>
       Sketches.simhashDupGroups(t(s, d, "documents"))),
+    "doc_simhash_near" -> ((s, d) =>
+      Sketches.simhashNearDupPairs(t(s, d, "documents"))),
     "doc_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cand = Sketches.minhashDupGroups(docs, sampleK = 4)
@@ -183,6 +185,13 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
       Similarity.lshBucketTopK(s, emb, queries, k = 5, nBits = 6)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+    }),
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.lshMultiProbeTopK(s, emb, queries, k = 5, nBits = 8)
         .select(col("q_id"), col("vec_id"), col("rank"))
     }),
     "ann_ivf_topk" -> ((s, d) => {

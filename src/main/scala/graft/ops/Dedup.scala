@@ -57,6 +57,64 @@ object Dedup {
     labels.select(col("node").as("member"), col("label").as("component"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log² n) rounds on ANY graph shape, vs. diameter rounds for
+    * [[connectedComponents]]'s label propagation. Each round is two
+    * edge-relabeling join-free aggregations; edges monotonically point
+    * toward component minima until fixed point.
+    *
+    *  - large-star: every node u links its strictly-greater neighbors to
+    *    m = min(N(u) ∪ u)
+    *  - small-star: every node u links its smaller-or-equal neighbors
+    *    (and itself) to m
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical (u > v) edge set, self-loops dropped
+    var canon = pairs.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star over the symmetrized view: per node u with m =
+      // min(Γ(u) ∪ u), link every strictly-greater neighbor to m
+      val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+      val withMin = sym
+        .withColumn("m", min(least(col("v"), col("u")))
+          .over(Window.partitionBy(col("u"))))
+      val large = withMin
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // u > m always → canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over canonical edges: per node u with m = min(Γ⁻(u) ∪ u),
+      // link every smaller neighbor and u itself to m
+      val sWithMin = large
+        .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      val small = sWithMin.select(col("v").as("u"), col("m").as("v"))
+        .union(sWithMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val changed = small.exceptAll(canon).limit(1).count() +
+        canon.exceptAll(small).limit(1).count()
+      canon = small
+      converged = changed == 0
+      it += 1
+    }
+    // at fixed point every non-min node points directly at its component min
+    canon.select(col("u").as("member"), col("v").as("component"))
+      .union(
+        canon.select(col("v").as("member")).distinct()
+          .join(canon.select(col("u").as("member")).distinct(), Seq("member"), "left_anti")
+          .withColumn("component", col("member")))
+      .distinct()
+  }
+
   /** Full near-dup pipeline: LSH candidates → Jaccard verify →
     * connected components → groups with sizes + bounded member sample.
     */

@@ -83,6 +83,40 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** Multi-probe sign-LSH top-k: each query probes its own bucket PLUS
+    * every bucket at Hamming distance 1 (flip each signature bit) —
+    * recall rises from the single-probe baseline at the cost of
+    * (nBits+1)× more (query, bucket) pairs, all still broadcast-joined.
+    * Corpus assignment stays single-bucket, so the big side is scanned
+    * once; only the tiny probe table fans out.
+    */
+  def lshMultiProbeTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                        k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).as[Int].head()
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
+    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
+    val probesUdf = udf { (v: Array[Float]) =>
+      val s = signature(planes.value, v)
+      (s +: (0 until nBits).map(b => s ^ (1 << b))).toArray
+    }
+    val qs = queries.select(col("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", explode(probesUdf(col("q_emb"))))
+    val cs = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", sigUdf(col("embedding")))
+    val simUdf = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cs.join(broadcast(qs), "bucket")
+      .groupBy(col("q_id"), col("vec_id")) // same candidate via ≥2 probes → once
+      .agg(first(col("q_emb")).as("q_emb"), first(col("embedding")).as("embedding"))
+      .withColumn("sim", simUdf(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Deterministic random hyperplanes: dim × nBits floats from a seeded
     * splitmix-like generator (no java.util.Random statefulness).
     */

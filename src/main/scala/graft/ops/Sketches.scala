@@ -137,6 +137,42 @@ object Sketches {
       .filter(col("n") >= 2)
   }
 
+  /** Banded simhash near-dup PAIRS with hamming ≤ maxHamming: the 64-bit
+    * simhash splits into `bands` equal bands; by pigeonhole, two hashes
+    * within hamming ≤ bands-1 share at least one exact band → candidates
+    * come from `bands` balanced groupBys (one per band), then the exact
+    * hamming filter keeps true near-dups. This is the scale shape of
+    * hamming-radius search: no all-pairs, only per-band bucket joins.
+    */
+  def simhashNearDupPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                          sampleK: Int = 5): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming ≤ bands-1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, simhash(text)) })
+      .toDF("doc_id", "sh")
+      .localCheckpoint(true) // compute signatures once across all bands
+    val width = 64 / bands
+    val banded = sh.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct() // pairs sharing several bands appear once
+  }
+
   /** Exact word-shingle Jaccard for candidate pairs, kernel-backed:
     * distinct shingle-hash sets per doc (computed once), then
     * intersection/union on sorted long arrays.

@@ -33,6 +33,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 20)
   }
 
+  test("large-star/small-star CC equals label propagation on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      val n = 60
+      val edges = (0 until 80).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("a", "b")
+      val a = Dedup.connectedComponents(df, maxIters = 50)
+        .as[(Long, Long)].collect().toMap
+      val b = Dedup.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toMap
+      assert(a == b, s"mismatch for edges $edges")
+    }
+  }
+
+  test("banded simhash finds hamming-close pairs without all-pairs compare") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // identical → hamming 0
+      (3L, base + " nu"), // one token appended → small hamming
+      (10L, "совершенно другой текст про другие вещи и слова здесь")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.Sketches.simhashNearDupPairs(docs, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L))
+  }
+
   test("near-dup pipeline finds groups on documents with real dups") {
     import spark.implicits._
     // fabricate docs: 3 exact-ish copies + 2 unrelated

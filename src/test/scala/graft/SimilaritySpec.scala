@@ -43,6 +43,19 @@ class SimilaritySpec extends AnyFunSuite {
     assertSelfTop1(Similarity.lshBucketTopK(spark, emb, queries, k = 5, nBits = 6))
   }
 
+  test("multi-probe LSH: self is rank 1 and recall ≥ single-probe") {
+    import spark.implicits._
+    val multi = Similarity.lshMultiProbeTopK(spark, emb, queries, k = 5, nBits = 8)
+    assertSelfTop1(multi)
+    // recall vs brute-force truth, compared against single-probe
+    val truth = Similarity.bruteForceTopK(spark, emb, queries, k = 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val single = Similarity.lshBucketTopK(spark, emb, queries, k = 5, nBits = 8)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val multiSet = multi.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert((multiSet & truth).size >= (single & truth).size)
+  }
+
   test("IVF top-k: self is rank 1 (own centroid always probed)") {
     assertSelfTop1(Similarity.ivfTopK(spark, emb, queries, k = 5))
   }
