@@ -128,7 +128,8 @@ object Dedup {
     val verified = Sketches.jaccardVerify(docs, cand.toDF("doc_id_a", "doc_id_b"),
       shingleN, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    connectedComponents(verified)
+    // star CC: round count bounded on any dup-graph shape (scale path)
+    connectedComponentsStar(verified)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"),
         slice(sort_array(collect_list(col("member"))), 1, sampleK).as("members"))
