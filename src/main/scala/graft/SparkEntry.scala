@@ -240,6 +240,11 @@ object SparkEntry {
       Threads.ranked(Threads.threadsNear(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
+    "ext_threads_fuzzy" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      Threads.ranked(Threads.threadsFuzzy(Classify.run(extractedFor(s, d), bc)))
+        .select(col("title_norm"), col("size"))
+    }),
     "ext_entities" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
       Classify.run(extractedFor(s, d), bc).toDF()

@@ -100,8 +100,8 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      val changed = small.exceptAll(canon).limit(1).count() +
-        canon.exceptAll(small).limit(1).count()
+      val changed = small.exceptAll(canon)
+        .union(canon.exceptAll(small)).limit(1).count() // one action per round
       canon = small
       converged = changed == 0
       it += 1

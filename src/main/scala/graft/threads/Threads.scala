@@ -86,6 +86,65 @@ object Threads {
       .drop("cluster_key")
   }
 
+  /** Fuzzy thread clustering — the token-Jaccard re-expression of the
+    * reference's self-occurrence retrieval (SURVEY.md §7.4: tantivy
+    * score ≥ 10 over title tokens ⇒ Jaccard cutoff; T1/D4):
+    *
+    *  1. distinct normalized titles (the names_db equivalent,
+    *     src/parser.rs:220-230);
+    *  2. minhash over title TOKENS, banded → candidate title pairs
+    *     (balanced groupBys, no all-pairs);
+    *  3. exact token-Jaccard ≥ `minJaccard` verification;
+    *  4. connected components (large/small-star) over verified pairs —
+    *     deterministic, permutation-invariant replacement for the greedy
+    *     reverse_map clustering (src/nlu/glossary.rs:374-443);
+    *  5. docs join their title's component; salted two-phase size/sample
+    *     aggregation as in [[threads]].
+    *
+    * Scale: steps 2-4 run over DISTINCT TITLES (≪ docs); only step 5
+    * touches the doc table, with the same hot-key-safe shape.
+    */
+  def threadsFuzzy(classified: Dataset[ClassifiedDoc], minJaccard: Double = 0.5,
+                   k: Int = ArticleSampleK): DataFrame = {
+    import graft.ops.{Dedup, Sketches}
+    val spark = classified.sparkSession
+    import spark.implicits._
+    val titles = classified.select(col("title_norm")).distinct()
+      .withColumn("tid", xxhash64(col("title_norm")))
+      .localCheckpoint(true)
+    val asDocs = titles.select(col("tid").as("doc_id"), col("title_norm").as("text"))
+    val cand = Sketches.minhashDupGroups(asDocs, shingleN = 1, bands = 4,
+        rowsPerBand = 2, sampleK = 8)
+      .select(col("doc_ids"), explode(col("doc_ids")).as("a"))
+      .select(col("a"), explode(col("doc_ids")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val verified = Sketches.jaccardVerify(asDocs, cand.toDF("doc_id_a", "doc_id_b"),
+        shingleN = 1, minJaccard)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val comps = Dedup.connectedComponentsStar(verified) // (member tid, component)
+    val titleComp = titles
+      .join(comps, titles("tid") === comps("member"), "left")
+      .select(col("title_norm"),
+        coalesce(col("component"), col("tid")).as("component"))
+    val keyed = classified.toDF()
+      .join(titleComp, "title_norm")
+    val phase1 = keyed
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
+      .groupBy(col("component"), col("salt"))
+      .agg(count(lit(1)).as("c"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample"),
+        min(col("title_norm")).as("title_norm"),
+        min(col("category")).as("category"))
+    phase1
+      .groupBy(col("component"))
+      .agg(sum(col("c")).as("size"),
+        slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles"),
+        min(col("title_norm")).as("title_norm"),
+        min(col("category")).as("category"))
+      .filter(col("size") >= 2)
+      .drop("component")
+  }
+
   /** Threads ordered by size desc (reference: sort_by_thread_count,
     * glossary.rs:286-300), title asc as deterministic tie-break.
     */

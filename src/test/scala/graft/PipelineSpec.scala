@@ -118,6 +118,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.head._2.toSet == Set("a00","a01","a02","b00","b01","b02"))
   }
 
+  test("fuzzy thread clustering merges near-identical titles, permutation-invariant") {
+    import spark.implicits._
+    def cd(id: String, title: String) =
+      graft.model.ClassifiedDoc(id, "en", title, "other", false, Map())
+    val ds = spark.createDataset(Seq(
+      cd("a1", "france signs major treaty with germany today"),
+      cd("a2", "france signs major treaty with germany today"),
+      cd("a3", "france signs major treaty with germany now"), // 6/8 shared tokens
+      cd("b1", "quantum telescope discovers new asteroid belt"),
+      cd("b2", "quantum telescope discovers new asteroid belt"),
+      cd("c1", "totally unrelated lonely singleton story")))
+    val got = graft.threads.Threads.threadsFuzzy(ds, minJaccard = 0.5)
+      .select($"size", $"articles").as[(Long, Seq[String])].collect()
+      .map { case (s, a) => (s, a.toSet) }.toSet
+    assert(got == Set(
+      (3L, Set("a1", "a2", "a3")),
+      (2L, Set("b1", "b2"))))
+    // partition invariance
+    val got2 = graft.threads.Threads.threadsFuzzy(ds.repartition(7), minJaccard = 0.5)
+      .select($"size", $"articles").as[(Long, Seq[String])].collect()
+      .map { case (s, a) => (s, a.toSet) }.toSet
+    assert(got2 == got)
+  }
+
   test("fused synth+extract equals chained corpus→extract") {
     import spark.implicits._
     val a = Synth.extracted(spark, seed, 500L)
