@@ -150,6 +150,13 @@ object SparkEntry {
     "doc_exact_dedup" -> ((s, d) =>
       TextOps.exactDupGroups(t(s, d, "documents"))
         .select(col("fp"), col("n_dups"))),
+    "doc_token_df" -> ((s, d) =>
+      TextOps.tokenDocFreq(t(s, d, "documents"), minDf = 5)),
+    "doc_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.filter(TextOps.deterministicSample(docs, "doc_id", "20"))
+        .select(col("doc_id"))
+    }),
 
     // ---- sketch dedup (rows-only: hash functions not DuckDB-expressible)
     "doc_minhash_dedup" -> ((s, d) =>
@@ -354,6 +361,14 @@ object SparkEntry {
       """SELECT fp, n_dups FROM (
         |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  count(*) AS n_dups FROM documents GROUP BY 1) WHERE n_dups >= 2""".stripMargin,
+    "doc_token_df" ->
+      """SELECT token, count(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0 GROUP BY token HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+    "doc_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'""".stripMargin,
     "media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -66,6 +66,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Token document-frequency table (corpus vocabulary statistics): one
+    * shuffle on token (uniform key), count-distinct per token. The
+    * standard first stage of tf-idf / vocab pruning for training data.
+    */
+  def tokenDocFreq(docs: DataFrame, minDf: Long = 2): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Deterministic reproducible sampling: keep a row iff the first two
+    * hex digits of md5(key) fall below the threshold — identical
+    * selection in any engine with md5 (no RNG, no seed drift, stable
+    * under re-partitioning). threshold "20" ≈ 12.5%.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): org.apache.spark.sql.Column =
+    substring(md5(col(keyCol).cast("string")), 1, 2) < hexThreshold
+
   // ---------- deduplication ------------------------------------------------
 
   /** Exact dedup: fingerprint groupBy. Map-side-combinable count + bounded
