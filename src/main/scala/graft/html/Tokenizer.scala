@@ -26,8 +26,12 @@ trait TokenSink {
 
 object Tokenizer {
 
-  /** Elements whose content is raw text (no nested markup). */
-  private val RawText = Set("script", "style")
+  /** Elements whose content never parses as markup: script/style (raw
+    * text) plus title/textarea (RCDATA — treated as raw and DROPPED,
+    * matching the emitter's head/boiler semantics; stray `<p>` inside a
+    * textarea must not open a block).
+    */
+  private val RawText = Set("script", "style", "title", "textarea")
 
   /** Buffering form (spec path / tests): collects [[stream]]'s events. */
   def tokenize(html: String): ArrayBuffer[Tok] = {
