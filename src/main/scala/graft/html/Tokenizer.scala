@@ -33,6 +33,49 @@ object Tokenizer {
     */
   private val RawText = Set("script", "style", "title", "textarea")
 
+  // canonical tag/attr names: region-matched case-insensitively against
+  // the source, so the common path allocates NO per-tag strings
+  private val CanonNames: Array[String] = Array(
+    "a", "b", "i", "p", "em", "h1", "h2", "h3", "h4", "h5", "h6", "u",
+    "ul", "ol", "li", "td", "th", "tr", "div", "img", "nav", "pre",
+    "span", "body", "html", "head", "form", "meta", "link", "table",
+    "aside", "video", "audio", "embed", "small", "title", "strong",
+    "footer", "header", "iframe", "script", "style", "button", "select",
+    "option", "source", "figure", "article", "section", "textarea",
+    "figcaption", "blockquote", "noscript", "template", "main", "center",
+    "graft-media", "src", "alt", "href", "class", "id", "rel", "type",
+    "name", "content", "data-i", "summary", "dd", "dt", "hr", "br")
+  private val canonByKey: java.util.HashMap[Integer, Array[String]] = {
+    val m = new java.util.HashMap[Integer, Array[String]]()
+    CanonNames.foreach { nm =>
+      val key = Integer.valueOf(nm.length * 128 + nm.charAt(0))
+      val prev = m.get(key)
+      m.put(key, if (prev == null) Array(nm) else prev :+ nm)
+    }
+    m
+  }
+
+  /** Lower-cased name for [from, until) — returns a canonical constant
+    * without allocating when the name is a known tag/attr.
+    */
+  private def canonName(html: String, from: Int, until: Int): String = {
+    val len = until - from
+    if (len > 0 && len <= 11) {
+      val c0 = Character.toLowerCase(html.charAt(from))
+      if (c0 < 128) {
+        val cands = canonByKey.get(Integer.valueOf(len * 128 + c0))
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length) {
+            if (html.regionMatches(true, from, cands(ci), 0, len)) return cands(ci)
+            ci += 1
+          }
+        }
+      }
+    }
+    html.substring(from, until).toLowerCase
+  }
+
   /** Buffering form (spec path / tests): collects [[stream]]'s events. */
   def tokenize(html: String): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
@@ -65,6 +108,14 @@ object Tokenizer {
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
     while (i < n) {
+      // bulk text scan: copy everything up to the next '<' in one append
+      if (html.charAt(i) != '<') {
+        val lt = html.indexOf('<', i)
+        if (lt < 0) { text.append(html, i, n); i = n }
+        else { text.append(html, i, lt); i = lt }
+      }
+      if (i >= n) { /* done */ }
+      else {
       val c = html.charAt(i)
       if (c == '<' && i + 1 < n) {
         val c1 = html.charAt(i + 1)
@@ -89,7 +140,7 @@ object Tokenizer {
             flushText()
             val ns = j
             while (j < n && html.charAt(j) != '>' && !Character.isWhitespace(html.charAt(j))) j += 1
-            val name = html.substring(ns, j).toLowerCase
+            val name = canonName(html, ns, j)
             while (j < n && html.charAt(j) != '>') j += 1
             i = if (j < n) j + 1 else n
             sink.onEndTag(name)
@@ -104,7 +155,7 @@ object Tokenizer {
           while (j < n && { val ch = html.charAt(j)
             (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
             (ch >= '0' && ch <= '9') || ch == '-' || ch == ':' }) j += 1
-          val name = html.substring(ns, j).toLowerCase
+          val name = canonName(html, ns, j)
           // attributes
           var attrs: List[(String, String)] = Nil
           var selfClosing = false
@@ -122,7 +173,7 @@ object Tokenizer {
                 val as = j
                 while (j < n && { val ch = html.charAt(j)
                   ch != '=' && ch != '>' && ch != '/' && !Character.isWhitespace(ch) }) j += 1
-                val aname = html.substring(as, j).toLowerCase
+                val aname = canonName(html, as, j)
                 var avalue = ""
                 // optional = value
                 var k = j
@@ -168,7 +219,8 @@ object Tokenizer {
           text.append(c); i += 1
         }
       } else {
-        text.append(c); i += 1
+        text.append(c); i += 1 // lone '<' at end of input
+      }
       }
     }
     flushText()
