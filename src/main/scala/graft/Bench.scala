@@ -48,6 +48,28 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Task-duration skew of one extraction run: (max task ms / mean task
+    * ms, task count). The balanced-partition evidence the north_rule
+    * asks for — a skew ratio near 1 means no straggler partitions.
+    */
+  def extractTaskSkew(spark: SparkSession, dir: String): (Double, Int) = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Extract.run(spark.read.parquet(dir).as[Doc]).count()
+      Thread.sleep(300) // let the listener bus drain (no public wait API)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val ds = durations.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    if (ds.isEmpty) (0.0, 0)
+    else (ds.max.toDouble / math.max(1.0, ds.sum.toDouble / ds.length), ds.length)
+  }
+
   def timeExtractFused(spark: SparkSession, nDocs: Long, partitions: Int): (Long, Double) = {
     val t0 = System.nanoTime()
     val n = Synth.extracted(spark, 42L, nDocs, partitions).count()
@@ -76,11 +98,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val (skew, nTasks) = extractTaskSkew(spark, pq)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
-      s""""fused_docs_per_sec":${nDocs / fusedSec},"cpus":$cpus}""")
+      s""""fused_docs_per_sec":${nDocs / fusedSec},""" +
+      s""""extract_task_skew":$skew,"extract_tasks":$nTasks,"cpus":$cpus}""")
     spark.stop()
   }
 }
