@@ -56,13 +56,14 @@ object Main {
     }.toMap
 
   private val usage =
-    "usage: Main languages|news|categories|threads|top|debug [--input dir] [--synth nDocs] [--out dir] [--buckets n]"
+    "usage: Main languages|news|categories|threads|top|debug [--input parquetDir | --htmldir htmlDir | --synth nDocs] [--out dir] [--buckets n]"
 
   private def inputDocs(spark: SparkSession, opts: Map[String, String]): Dataset[Doc] = {
     import spark.implicits._
-    opts.get("input") match {
-      case Some(dir) => spark.read.parquet(dir).as[Doc]
-      case None => Synth.corpus(spark, 42L, opts.getOrElse("synth", "1000").toLong)
+    (opts.get("input"), opts.get("htmldir")) match {
+      case (Some(dir), _) => spark.read.parquet(dir).as[Doc]
+      case (_, Some(dir)) => graft.sources.HtmlDirSource.read(spark, dir) // the reference's `tgnews <verb> <dir>` shape
+      case _ => Synth.corpus(spark, 42L, opts.getOrElse("synth", "1000").toLong)
     }
   }
 
