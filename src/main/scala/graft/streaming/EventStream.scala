@@ -47,6 +47,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on an id column with bounded state: the
+    * watermark expires per-key state after 1 hour of event time — the
+    * ingest-time twin of TextOps.exactDupGroups (late replays of an
+    * already-seen id are dropped; state never grows unboundedly).
+    */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(idCol, "ts")
+
   /** Run the streaming query over a parquet directory as a bounded stream
     * (one file per microbatch), returning the complete result — used by
     * tests to assert streaming == batch.

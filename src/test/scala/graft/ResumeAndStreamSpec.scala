@@ -65,6 +65,24 @@ class ResumeSpec extends AnyFunSuite {
     assert(bad.nonEmpty)
   }
 
+  test("checkpointed EXTRACTION resumes at unit granularity") {
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("ckpt_ext").toString
+    val docs = graft.synth.Synth.corpus(spark, 42L, 400L).toDF()
+    val extractT: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => graft.extract.Extract.run(df.as[graft.model.Doc]).toDF()
+        .select(col("doc_id"), col("lang"), col("title_norm"))
+    intercept[RuntimeException] {
+      Checkpoint.resume(spark, docs, "doc_id", extractT, out, buckets = 4, failAtUnit = Some(2))
+    }
+    val r = Checkpoint.resume(spark, docs, "doc_id", extractT, out, buckets = 4)
+    assert(r.unitsSkipped == Seq(0, 1) && r.unitsCommitted == Seq(2, 3))
+    val got = Checkpoint.readCommitted(spark, out).count()
+    val want = graft.extract.Extract.run(graft.synth.Synth.corpus(spark, 42L, 400L)).count()
+    assert(got == want)
+  }
+
   test("manifest lineage: fingerprints and counts recorded per unit") {
     val out = Files.createTempDirectory("ckpt3").toString
     Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
@@ -136,6 +154,31 @@ class StreamSpec extends AnyFunSuite {
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     assert(got == want)
+  }
+
+  test("streaming dedup: duplicated input stream yields each event once") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("events_dedup")
+    // two files with the SAME events → a streaming replay of duplicates
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.coalesce(1).write.parquet(dir.resolve("a").toString)
+    java.nio.file.Files.copy(
+      java.nio.file.Files.list(dir.resolve("a")).filter(_.toString.endsWith(".parquet")).findFirst.get,
+      dir.resolve("dup.parquet"))
+    java.nio.file.Files.move(
+      java.nio.file.Files.list(dir.resolve("a")).filter(_.toString.endsWith(".parquet")).findFirst.get,
+      dir.resolve("orig.parquet"))
+    val schema = src.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.dedupStream(stream, "event_id")
+      .select(col("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_stream").count()
+    assert(got == src.count()) // each event exactly once despite the replayed file
   }
 
   test("streaming hourly agg equals batch on the events table") {
