@@ -115,6 +115,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Hybrid CC: dup-candidate graphs are usually TINY relative to the
+    * corpus (only verified near-dup pairs), so below `driverThreshold`
+    * edges we collect and run union-find on the driver (micro-seconds,
+    * zero extra Spark jobs); above it, the distributed star algorithm.
+    * Results are identical (both yield component = min member id).
+    */
+  def connectedComponentsAuto(pairs: DataFrame, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val canon = pairs.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    if (canon.count() > driverThreshold) return connectedComponentsStar(canon)
+    val edges = canon.as[(Long, Long)].collect()
+    // path-compressing union-find, min-id as root
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val members = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    spark.createDataset(members.map(m => (m, find(m))).toSeq)
+      .toDF("member", "component")
+  }
+
   /** Full near-dup pipeline: LSH candidates → Jaccard verify →
     * connected components → groups with sizes + bounded member sample.
     */
@@ -128,8 +161,9 @@ object Dedup {
     val verified = Sketches.jaccardVerify(docs, cand.toDF("doc_id_a", "doc_id_b"),
       shingleN, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    // star CC: round count bounded on any dup-graph shape (scale path)
-    connectedComponentsStar(verified)
+    // hybrid CC: driver union-find for small candidate graphs,
+    // distributed star above the threshold
+    connectedComponentsAuto(verified)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"),
         slice(sort_array(collect_list(col("member"))), 1, sampleK).as("members"))

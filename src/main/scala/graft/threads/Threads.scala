@@ -121,7 +121,7 @@ object Threads {
     val verified = Sketches.jaccardVerify(asDocs, cand.toDF("doc_id_a", "doc_id_b"),
         shingleN = 1, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val comps = Dedup.connectedComponentsStar(verified) // (member tid, component)
+    val comps = Dedup.connectedComponentsAuto(verified) // (member tid, component)
     val titleComp = titles
       .join(comps, titles("tid") === comps("member"), "left")
       .select(col("title_norm"),

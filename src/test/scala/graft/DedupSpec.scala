@@ -46,6 +46,12 @@ class DedupSpec extends AnyFunSuite {
       val b = Dedup.connectedComponentsStar(df)
         .as[(Long, Long)].collect().toMap
       assert(a == b, s"mismatch for edges $edges")
+      val c = Dedup.connectedComponentsAuto(df) // driver union-find path
+        .as[(Long, Long)].collect().toMap
+      assert(c == b, s"auto mismatch for edges $edges")
+      val d = Dedup.connectedComponentsAuto(df, driverThreshold = 1L) // forced star path
+        .as[(Long, Long)].collect().toMap
+      assert(d == b)
     }
   }
 
