@@ -56,7 +56,7 @@ object Main {
     }.toMap
 
   private val usage =
-    "usage: Main languages|news|categories|threads|top|debug [--input parquetDir | --htmldir htmlDir | --synth nDocs] [--out dir] [--buckets n]"
+    "usage: Main languages|news|categories|threads|top|debug [--input parquetDir | --htmldir htmlDir | --synth nDocs] [--out dir] [--buckets n] [--fuzzy true]"
 
   private def inputDocs(spark: SparkSession, opts: Map[String, String]): Dataset[Doc] = {
     import spark.implicits._
@@ -155,7 +155,10 @@ object Main {
         // two-stage at scale: persist classified once, then cluster; commit
         // units slice by title hash, so clusters never cross units
         val classified = Classify.run(Extract.run(docs), bc).cache()
-        val th = Threads.threads(classified)
+        // --fuzzy true → token-Jaccard near-title clustering (threadsFuzzy)
+        val th =
+          if (opts.get("fuzzy").contains("true")) Threads.threadsFuzzy(classified)
+          else Threads.threads(classified)
         writeOut(classified.toDF(), "title_norm",
           df => Threads.threads(df.as[graft.model.ClassifiedDoc]))
         if (verb == "threads") {

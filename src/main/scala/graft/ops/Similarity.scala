@@ -47,6 +47,8 @@ object Similarity {
     val qs: Array[(Long, Array[Float])] = queries
       .select(col("q_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect()
+    require(qs.length <= 100000,
+      s"brute-force path is for broadcastable query sets (got ${qs.length}); batch the queries or use lsh/ivf")
     val bc = spark.sparkContext.broadcast(qs)
     val partials = corpus
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -201,6 +203,7 @@ object Similarity {
     import spark.implicits._
     val vecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
+      .cache() // iterated `iters` times — avoid re-scanning the source
     // deterministic init: hash-sampled rows as seeds
     var centroids: Array[Array[Float]] = vecs
       .filter(v => (Sketches.fnv64(s"$seed:${v._1}") & 0x7fffffffL) % 97 < 7)
@@ -237,6 +240,7 @@ object Similarity {
       centroids = updated
       it += 1
     }
+    vecs.unpersist()
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
