@@ -153,12 +153,9 @@ object Dedup {
     */
   def nearDupGroups(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.5,
                     sampleK: Int = 10): DataFrame = {
-    val cand = Sketches.minhashDupGroups(docs, shingleN, sampleK = sampleK)
-      .select(col("doc_ids"), explode(col("doc_ids")).as("a"))
-      .select(col("a"), explode(col("doc_ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-    val verified = Sketches.jaccardVerify(docs, cand.toDF("doc_id_a", "doc_id_b"),
+    // anchor-star candidate pairs: linear in bucket size, no truncation
+    val cand = Sketches.minhashCandidatePairs(docs, shingleN)
+    val verified = Sketches.jaccardVerify(docs, cand,
       shingleN, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     // hybrid CC: driver union-find for small candidate graphs,

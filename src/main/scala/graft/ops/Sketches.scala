@@ -123,6 +123,33 @@ object Sketches {
       .filter(col("n") >= 2 && size(col("doc_ids")) >= 2)
   }
 
+  /** Candidate pairs from minhash bands WITHOUT per-bucket truncation:
+    * each band bucket contributes (anchor=min member, other) star pairs —
+    * O(bucket size) pairs, O(1) aggregation state (a min), and connected
+    * components restore transitivity downstream. This is the
+    * pair-generation shape that survives adversarial buckets (thousands
+    * of templated near-identical docs), where a bounded member sample
+    * would silently drop candidates.
+    */
+  def minhashCandidatePairs(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, shingleN, bands * rowsPerBand)
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val anchors = banded.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    banded.join(anchors, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+      .distinct()
+  }
+
   /** SimHash near-dup groups, kernel-backed. */
   def simhashDupGroups(docs: DataFrame, sampleK: Int = 5): DataFrame = {
     val spark = docs.sparkSession

@@ -113,12 +113,11 @@ object Threads {
       .withColumn("tid", xxhash64(col("title_norm")))
       .localCheckpoint(true)
     val asDocs = titles.select(col("tid").as("doc_id"), col("title_norm").as("text"))
-    val cand = Sketches.minhashDupGroups(asDocs, shingleN = 1, bands = 4,
-        rowsPerBand = 2, sampleK = 8)
-      .select(col("doc_ids"), explode(col("doc_ids")).as("a"))
-      .select(col("a"), explode(col("doc_ids")).as("b"))
-      .filter(col("a") < col("b")).distinct()
-    val verified = Sketches.jaccardVerify(asDocs, cand.toDF("doc_id_a", "doc_id_b"),
+    // anchor-star candidate pairs (untruncated even for huge buckets of
+    // templated titles); CC restores transitivity
+    val cand = Sketches.minhashCandidatePairs(asDocs, shingleN = 1, bands = 4,
+        rowsPerBand = 2)
+    val verified = Sketches.jaccardVerify(asDocs, cand,
         shingleN = 1, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val comps = Dedup.connectedComponentsAuto(verified) // (member tid, component)

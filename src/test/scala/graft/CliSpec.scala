@@ -54,6 +54,17 @@ class CliSpec extends AnyFunSuite {
       "entertainment", "science", "other").contains))
   }
 
+  test("debug: valid JSON counters consistent with ground truth") {
+    val out = runVerb("debug", 400L)
+    val node = mapper.readTree(out)
+    val truths = Synth.truths(spark, 42L, 400L).collect()
+    assert(node.get("n_input").asLong == 400L)
+    assert(node.get("n_kept").asLong == truths.count(_.kept))
+    assert(node.get("n_en").asLong == truths.count(t => t.kept && t.lang == "en"))
+    assert(node.get("n_ru").asLong == truths.count(t => t.kept && t.lang == "ru"))
+    assert(node.get("extract_classify_ms").asLong >= 0)
+  }
+
   test("threads: ≥2-member clusters sorted by size desc; top leads with 'any'") {
     val th = mapper.readTree(runVerb("threads", 800L))
     assert(th.isArray && th.size > 0)

@@ -70,6 +70,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L))
   }
 
+  test("anchor-star candidates: 50-doc templated cluster fully merges (no truncation)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again in the park tonight"
+    val docs = ((1 to 50).map(i => (i.toLong, s"$base edition $i")) :+
+      (100L, "entirely different content about markets and quantum budgets here")).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroups(docs, minJaccard = 0.5, sampleK = 60)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(groups.length == 1)
+    assert(groups.head._2 == 50L, s"expected all 50 merged, got ${groups.head._2}")
+  }
+
   test("near-dup pipeline finds groups on documents with real dups") {
     import spark.implicits._
     // fabricate docs: 3 exact-ish copies + 2 unrelated
