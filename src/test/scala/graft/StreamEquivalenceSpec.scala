@@ -75,20 +75,27 @@ class StreamEquivalenceSpec extends AnyFunSuite {
   test("equivalent on random structured html") {
     val tags = Array("p", "div", "h1", "li", "b", "a", "nav", "span",
       "ul", "img", "iframe", "td", "blockquote", "article", "video",
-      "audio", "source", "figure", "aside", "h2", "em", "table", "tr")
-    val words = Array("alpha", "beta", "gamma", "delta", "epsilon")
+      "audio", "source", "figure", "aside", "h2", "em", "table", "tr",
+      "title", "textarea", "script", "pre", "dd", "dt", "hr", "br", "i",
+      "u", "small", "strong", "form", "select", "option", "head", "body",
+      "html", "footer", "header", "main", "center", "figcaption",
+      "summary", "th", "ol", "dl", "embed", "noscript")
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "&amp;", "&#65;", "<", "&bogus;")
     val rng = new scala.util.Random(4242)
-    (0 until 2000).foreach { _ =>
+    (0 until 3000).foreach { _ =>
       val sb = new StringBuilder
-      (0 until 60).foreach { _ =>
-        rng.nextInt(5) match {
+      (0 until (10 + rng.nextInt(100))).foreach { _ =>
+        rng.nextInt(6) match {
           case 0 =>
             val t = tags(rng.nextInt(tags.length))
             if (t == "img") sb.append(s"<img src='u${rng.nextInt(5)}' alt='${words(rng.nextInt(5))}'>")
             else if (t == "iframe") sb.append(s"<iframe src='f${rng.nextInt(5)}'>")
+            else if (rng.nextInt(10) == 0) sb.append(s"<$t/>")
             else sb.append(s"<$t>")
           case 1 => sb.append(s"</${tags(rng.nextInt(tags.length))}>")
-          case _ => sb.append(words(rng.nextInt(words.length))).append(' ')
+          case 2 => sb.append(words(rng.nextInt(words.length)))
+          case _ => sb.append(words(rng.nextInt(6))).append(' ')
         }
       }
       assertSame(sb.toString)
