@@ -88,17 +88,23 @@ object Checkpoint {
     * units. `input` must contain `keyCol`; `transform` maps a unit's rows
     * to the output rows for that unit.
     *
-    * @param failAtUnit test-only failpoint: throw before committing this
-    *                   unit (simulates a killed spark-submit)
+    * @param failAtUnit      test-only failpoint: throw before committing
+    *                        this unit (simulates a killed spark-submit)
+    * @param unitParallelism concurrent unit jobs (each still fans out over
+    *                        all executors; >1 overlaps scheduling gaps —
+    *                        Spark's scheduler interleaves the jobs). Kill
+    *                        semantics stay manifest-exact either way.
     */
   def resume(spark: SparkSession, input: DataFrame, keyCol: String,
              transform: DataFrame => DataFrame, out: String, buckets: Int,
-             failAtUnit: Option[Int] = None): WriteReport = {
+             failAtUnit: Option[Int] = None,
+             unitParallelism: Int = 1): WriteReport = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = committedUnits(out)
     val planned = (0 until buckets).filterNot(done)
     val withBucket = input.withColumn("part_bucket", bucketOf(keyCol, buckets))
-    val committed = planned.map { k =>
+
+    def runUnit(k: Int): Int = {
       if (failAtUnit.contains(k))
         throw new RuntimeException(s"failpoint: killed before unit $k")
       val t0 = System.nanoTime()
@@ -121,7 +127,18 @@ object Checkpoint {
         (System.nanoTime() - t0) / 1000000, attempt, "committed"))
       k
     }
-    WriteReport(planned, done.toSeq.sorted, committed)
+
+    val committed =
+      if (unitParallelism <= 1) planned.map(runUnit)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(unitParallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(planned.map(k => Future(runUnit(k)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    WriteReport(planned, done.toSeq.sorted, committed.sorted)
   }
 
   /** Lineage audit: recompute each committed unit's input fingerprint and

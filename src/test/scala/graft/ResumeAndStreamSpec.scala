@@ -83,6 +83,20 @@ class ResumeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("parallel unit execution equals sequential output") {
+    val outSeq = Files.createTempDirectory("ckpt_seq").toString
+    val outPar = Files.createTempDirectory("ckpt_par").toString
+    Checkpoint.resume(spark, input, "doc_id", transform, outSeq, buckets = 8)
+    val r = Checkpoint.resume(spark, input, "doc_id", transform, outPar,
+      buckets = 8, unitParallelism = 4)
+    assert(r.unitsCommitted == (0 until 8))
+    val a = Checkpoint.readCommitted(spark, outSeq)
+      .select("doc_id", "n").collect().map(_.toString).sorted.toSeq
+    val b = Checkpoint.readCommitted(spark, outPar)
+      .select("doc_id", "n").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("manifest lineage: fingerprints and counts recorded per unit") {
     val out = Files.createTempDirectory("ckpt3").toString
     Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
