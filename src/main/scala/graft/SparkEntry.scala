@@ -150,6 +150,8 @@ object SparkEntry {
     "doc_exact_dedup" -> ((s, d) =>
       TextOps.exactDupGroups(t(s, d, "documents"))
         .select(col("fp"), col("n_dups"))),
+    "doc_curated" -> ((s, d) =>
+      TextOps.curated(t(s, d, "documents"))),
     "doc_token_df" -> ((s, d) =>
       TextOps.tokenDocFreq(t(s, d, "documents"), minDf = 5)),
     "doc_sample" -> ((s, d) => {
@@ -361,6 +363,21 @@ object SparkEntry {
       """SELECT fp, n_dups FROM (
         |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  count(*) AS n_dups FROM documents GROUP BY 1) WHERE n_dups >= 2""".stripMargin,
+    "doc_curated" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, text,
+        |  min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS keep_id
+        |  FROM documents)
+        |WHERE doc_id = keep_id
+        |AND (CASE
+        |  WHEN length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) * 2
+        |     > length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))
+        |     + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) THEN 'ru'
+        |  WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0 THEN 'en'
+        |  ELSE '' END) = 'en'
+        |AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 20 AND 100000
+        |AND (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) // 3 >= 1""".stripMargin,
     "doc_token_df" ->
       """SELECT token, count(DISTINCT doc_id) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS token

@@ -87,6 +87,26 @@ object TextOps {
   def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): org.apache.spark.sql.Column =
     substring(md5(col(keyCol).cast("string")), 1, 2) < hexThreshold
 
+  /** The canonical curation chain, composed from the ops above: exact
+    * dedup (keep the smallest doc_id per fingerprint) ∘ language gate ∘
+    * quality gates. One window over the fingerprint (uniform key) + a
+    * codegen'd filter — the whole pipeline is two narrow stages and one
+    * shuffle at any corpus size.
+    */
+  def curated(docs: DataFrame, lang: String = "en", minTokens: Int = 20,
+              maxTokens: Int = 100000, minStopHits: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .filter(langIdHeuristic(col("text")) === lang)
+      .filter(tokenCount(col("text")).between(minTokens, maxTokens))
+      .filter((length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= minStopHits)
+      .select(col("doc_id"))
+  }
+
   // ---------- deduplication ------------------------------------------------
 
   /** Exact dedup: fingerprint groupBy. Map-side-combinable count + bounded
