@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpanFixtureSpec extends AnyFunSuite {
 
   private val seed = 42L
-  private val n = 2000
+  private val n = 5000
   private val nStories = math.max(8, n / 50)
 
   test("extraction matches generator ground truth on all seeded docs") {
