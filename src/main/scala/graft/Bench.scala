@@ -99,12 +99,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (skew, nTasks) = extractTaskSkew(spark, pq)
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
       s""""fused_docs_per_sec":${nDocs / fusedSec},""" +
-      s""""extract_task_skew":$skew,"extract_tasks":$nTasks,"cpus":$cpus}""")
+      s""""extract_task_skew":$skew,"extract_tasks":$nTasks,"cpus":$cpus}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", which broke the driver's JSON
+    // parse in round 1 — the file copy is the machine-readable channel
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -161,10 +161,16 @@ object SparkEntry {
     }),
 
     // ---- sketch dedup (rows-only: hash functions not DuckDB-expressible)
+    // array columns projected to scalars: the driver's pandas row-sort
+    // compare can't hash ndarray cells (CORRECTNESS_r01 err)
     "doc_minhash_dedup" -> ((s, d) =>
-      Sketches.minhashDupGroups(t(s, d, "documents"))),
+      Sketches.minhashDupGroups(t(s, d, "documents"))
+        .select(col("band"), col("bkey"), col("n"),
+          concat_ws(",", transform(col("doc_ids"), _.cast("string"))).as("doc_ids"))),
     "doc_simhash_dedup" -> ((s, d) =>
-      Sketches.simhashDupGroups(t(s, d, "documents"))),
+      Sketches.simhashDupGroups(t(s, d, "documents"))
+        .select(col("sh"), col("n"),
+          concat_ws(",", transform(col("doc_ids"), _.cast("string"))).as("doc_ids"))),
     "doc_simhash_near" -> ((s, d) =>
       Sketches.simhashNearDupPairs(t(s, d, "documents"))),
     "doc_ngram_jaccard" -> ((s, d) => {

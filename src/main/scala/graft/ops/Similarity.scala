@@ -55,10 +55,12 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value
-        // bounded per-query heap: (sim, vec_id) min-heap of size k
+        // bounded per-query heap of size k; head = worst kept entry =
+        // (min sim, max vec_id) so the vec_id-asc final tie-break is the
+        // one that survives eviction (partition-order independent)
         val heaps = Array.fill(queries.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2))))
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
         it.foreach { case (vid, emb) =>
           var qi = 0
           while (qi < queries.length) {

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
 object HtmlDirSource {
 
   def read(spark: SparkSession, dir: String,
-           glob: String = "*.html"): Dataset[Doc] = {
+           glob: String = ""): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
+    // no default glob: the reference parses every file regardless of
+    // extension (visit_dirs, src/parser.rs:90-103) — contest corpora use
+    // bare file names; pass a glob only to opt in to filtering
+    val reader = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
+    (if (glob.nonEmpty) reader.option("pathGlobFilter", glob) else reader)
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

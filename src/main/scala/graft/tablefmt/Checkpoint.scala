@@ -160,8 +160,13 @@ object Checkpoint {
       .collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     manifests.collect {
-      case (k, m) if current.get(k).forall { case (n, fp) =>
-        n != m.nInput || fp != m.inputFingerprint } => k
+      // a bucket absent from the groupBy means its input slice is now
+      // empty — compare as (0, 0), not "always drifted" (Option.forall
+      // on None was a false positive for legitimately-empty units)
+      case (k, m) if {
+        val (n, fp) = current.getOrElse(k, (0L, 0L))
+        n != m.nInput || fp != m.inputFingerprint
+      } => k
     }.toSeq.sorted
   }
 

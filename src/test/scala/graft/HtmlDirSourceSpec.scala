@@ -22,10 +22,20 @@ class HtmlDirSourceSpec extends AnyFunSuite {
       "<html><body><h1>заголовок на русском о правительстве</h1><p>это текст статьи на русском как мы и думали</p></body></html>")
     Files.writeString(sub.resolve("c.html"),
       "<html><body><p>no title here at all</p></body></html>") // dropped (no h1)
-    Files.writeString(root.resolve("skip.txt"), "not html")
+    // extensionless file: the reference parses every file regardless of
+    // name (visit_dirs, src/parser.rs:90-103) — default read has NO glob
+    Files.writeString(root.resolve("996215361418929641"),
+      "<html><body><h1>the bare name article title</h1><p>the body of the bare file with the words</p></body></html>")
+    Files.writeString(root.resolve("notes.txt"), "not html at all")
 
     val docs = HtmlDirSource.read(spark, root.toString)
-    assert(docs.count() == 3) // a, b, c (recursive); skip.txt filtered by glob
+    assert(docs.count() == 5) // everything, recursive, no extension filter
+    // opt-in glob filtering still works
+    assert(HtmlDirSource.read(spark, root.toString, glob = "*.html").count() == 3)
+    // the extensionless contest-style file extracts like any .html one
+    val bare = graft.extract.Extract.run(docs)
+      .collect().filter(_.doc_id.endsWith("996215361418929641"))
+    assert(bare.length == 1 && bare.head.lang == "en")
   }
 
   test("extraction over the html dir keeps en/ru, drops no-h1") {
