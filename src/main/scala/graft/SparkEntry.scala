@@ -19,9 +19,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Fused synth+extract sized to the sf tier (sf0.01 → ~5k docs). */
+  /** Fused synth+extract sized to the sf tier. Tiers are sized so the
+    * idf gate (SURVEY §7.4) is exercisable: a df=1 token fires (idf ≥ 8)
+    * only when kept-N ≳ 5900, so sf0.01 generates 8000 (≈6000 kept);
+    * sf0.001's 1000 docs stay below the gate — faithful to the
+    * reference's corpus-size-dependent tantivy scores.
+    */
   private def extractedFor(spark: SparkSession, dir: String) = {
-    val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 5000L else 1000L
+    val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 8000L else 1000L
     Synth.extracted(spark, seed = 42L, nDocs = n)
   }
 

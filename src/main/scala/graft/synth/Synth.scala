@@ -95,6 +95,32 @@ object Synth {
   private val topics = Array("sports", "economy", "technology", "society",
     "entertainment", "science")
 
+  /** ~2k REAL dictionary terms planted sparsely (8% of standalone en
+    * titles) so the classify stage sees corpus-RARE matches: the BM25-idf
+    * gate (SURVEY §7.4) needs df/N ≲ e^-8 for a single token to fire, so
+    * the round-1 scheme of a 28-word entity vocab (df ≈ 5%) can never
+    * clear it — exactly as the reference's tantivy scoring wouldn't.
+    * Deterministic: sorted glossary order, fixed strides. Loaded lazily
+    * once per JVM from the same resources the classifier broadcasts.
+    */
+  lazy val plantPool: Array[String] = {
+    val ascii = "^[a-z0-9 ]+$".r
+    val themes = graft.gloss.Glossary.loadThemes()
+    val multi = themes.toSeq.sortBy(_._1)
+      .flatMap(_._2.sorted)
+      .filter(t => t.contains(' ') && t.length <= 40 && ascii.matches(t))
+      .distinct
+    val ents = graft.gloss.Glossary.loadEntityClasses()
+    val singles = ents.toSeq.sortBy(_._1)
+      .flatMap(_._2.sorted)
+      .filter(t => !t.contains(' ') && t.length >= 5 && ascii.matches(t))
+      .distinct
+    val strideM = math.max(1, multi.size / 1536)
+    val strideS = math.max(1, singles.size / 512)
+    (multi.grouped(strideM).map(_.head).take(1536) ++
+      singles.grouped(strideS).map(_.head).take(512)).toArray
+  }
+
   private val imgHosts = Array("https://img.example.com/", "https://cdn.example.org/",
     "https://static.example.net/")
   private val embedHosts = Array("https://video.example.com/embed/",
@@ -169,6 +195,9 @@ object Synth {
 
     val title =
       if (story >= 0) storyTitle(seed, story, lang)
+      else if (kept0 && !noH1 && lang == "en" && rng.chance(8))
+        // planted real-glossary term (corpus-rare → clears the idf gate)
+        s"${rng.pick(plantPool)} ${rng.pick(enWord)} ${rng.pick(enStop)} ${rng.pick(enWord)}"
       else words(rng, stop, word, entity, 4 + rng.nextInt(4), 3)
 
     // head + header/nav boilerplate (skipped by the emitter)
