@@ -25,7 +25,7 @@ object SparkEntry {
     * sf0.001's 1000 docs stay below the gate — faithful to the
     * reference's corpus-size-dependent tantivy scores.
     */
-  private def extractedFor(spark: SparkSession, dir: String) = {
+  def extractedFor(spark: SparkSession, dir: String) = {
     val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 8000L else 1000L
     Synth.extracted(spark, seed = 42L, nDocs = n)
   }
@@ -274,7 +274,8 @@ object SparkEntry {
     "ext_top" -> ((s, d) => {
       val bc = s.sparkContext.broadcast(Classify.loadDicts())
       Threads.top(Threads.threads(Classify.run(extractedFor(s, d), bc)))
-        .select(col("category"), col("rank"), col("title_norm"), col("size"))
+        .select(col("category"), col("rank").cast("long").as("rank"),
+          col("title_norm"), col("size")) // rank → long: DuckDB row_number is BIGINT
     })
   )
 
@@ -400,6 +401,47 @@ object SparkEntry {
     "media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |strlen(text) AS n_bytes FROM documents""".stripMargin
+        |strlen(text) AS n_bytes FROM documents""".stripMargin,
+
+    // ---- the reference pipeline's relational tails -------------------
+    // These read the per-doc base tables that Verify materializes to
+    // $outDir/_base (the extraction/classify kernels themselves are
+    // fixture-checked in `sbt test`; these externalize the groupBy /
+    // window / explode tails through DuckDB). `{OUT}` is substituted
+    // with the absolute output dir by Verify at dump time.
+    "ext_lang_split" ->
+      """SELECT lang, count(*) AS n_docs
+        |FROM read_parquet('{OUT}/_base/classified/*.parquet')
+        |GROUP BY lang""".stripMargin,
+    "ext_spans" ->
+      """SELECT doc_id, kind, "offset"
+        |FROM read_parquet('{OUT}/_base/spans/*.parquet')""".stripMargin,
+    "ext_categories" ->
+      """SELECT category, count(*) AS n_docs
+        |FROM read_parquet('{OUT}/_base/classified/*.parquet')
+        |GROUP BY category""".stripMargin,
+    "ext_entities" ->
+      """SELECT class, count(*) AS n_docs
+        |FROM read_parquet('{OUT}/_base/entities/*.parquet')
+        |GROUP BY class""".stripMargin,
+    "ext_threads" ->
+      """SELECT title_norm, count(*) AS size
+        |FROM read_parquet('{OUT}/_base/classified/*.parquet')
+        |GROUP BY title_norm HAVING count(*) >= 2""".stripMargin,
+    "ext_top" ->
+      """WITH th AS (
+        |  SELECT title_norm, count(*) AS size, min(category) AS category
+        |  FROM read_parquet('{OUT}/_base/classified/*.parquet')
+        |  GROUP BY title_norm HAVING count(*) >= 2
+        |), buckets AS (
+        |  SELECT CASE WHEN category = '' THEN 'other' ELSE category END AS category,
+        |         title_norm, size FROM th
+        |  UNION ALL
+        |  SELECT 'any' AS category, title_norm, size FROM th
+        |)
+        |SELECT category, rank, title_norm, size FROM (
+        |  SELECT category, title_norm, size,
+        |    row_number() OVER (PARTITION BY category ORDER BY size DESC, title_norm) AS rank
+        |  FROM buckets) WHERE rank <= 10""".stripMargin
   )
 }

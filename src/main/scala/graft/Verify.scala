@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also materializes the extraction pipeline's per-doc BASE tables to
+  * `$outDir/_base/{classified,entities,spans}` so the ext_* oracles can
+  * recompute their relational tails in DuckDB over the same rows (the
+  * extraction/classify kernels are fixture-checked in `sbt test`; the
+  * external oracle covers the groupBy/window/explode tails). Oracle SQL
+  * may reference the dump dir via the `{OUT}` placeholder, substituted
+  * here with the absolute path.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,6 +25,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // base tables for the ext_* oracles (written before the queries run)
+    val ext = SparkEntry.extractedFor(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.loadDicts())
+    val classified = graft.gloss.Classify.run(ext, bc).toDF()
+      .localCheckpoint(true) // one classify pass feeds both base tables
+    classified
+      .select(col("doc_id"), col("lang"), col("title_norm"),
+        col("category"), col("is_news"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/classified")
+    classified
+      .select(col("doc_id"), explode(col("entities")).as(Seq("class", "words")))
+      .select(col("doc_id"), col("class"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/entities")
+    ext.toDF()
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("span.kind").as("kind"),
+        col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/spans")
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -34,8 +64,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = Paths.get(outDir).toAbsolutePath.normalize.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
