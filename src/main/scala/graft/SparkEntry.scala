@@ -222,7 +222,8 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank"))
     }),
     "emb_cosine_dup" -> ((s, d) =>
-      Similarity.cosineDupPairs(s, t(s, d, "embeddings"), minSim = 0.4, nBits = 8)
+      Similarity.cosineDupPairs(s, t(s, d, "embeddings"), minSim = 0.4,
+          bands = 4, bitsPerBand = 8)
         .select(col("id_a"), col("id_b"))),
 
     // ---- multimodal plumbing ------------------------------------------

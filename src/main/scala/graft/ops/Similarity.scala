@@ -108,14 +108,13 @@ object Similarity {
       .withColumn("bucket", explode(probesUdf(col("q_emb"))))
     val cs = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
-    val simUdf = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     cs.join(broadcast(qs), "bucket")
       .groupBy(col("q_id"), col("vec_id")) // same candidate via ≥2 probes → once
       .agg(first(col("q_emb")).as("q_emb"), first(col("embedding")).as("embedding"))
-      .withColumn("sim", simUdf(col("q_emb"), col("embedding")))
+      .withColumn("sim", cosineExprSafe(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
@@ -169,12 +168,11 @@ object Similarity {
       .withColumn("bucket", sigUdf(col("q_emb")))
     val cs = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
-    val simUdf = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     cs.join(broadcast(qs), "bucket") // query side is small → broadcast hash join per bucket
-      .withColumn("sim", simUdf(col("q_emb"), col("embedding")))
+      .withColumn("sim", cosineExprSafe(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
@@ -190,15 +188,76 @@ object Similarity {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** [[cosineExpr]] with the [[dotNorm]] kernel's exact semantics: floats
+    * widened to double BEFORE multiplying and zero-norm vectors scoring
+    * 0.0 instead of NaN (NaN sorts above every sim in a rank window —
+    * a zero vector would otherwise corrupt top-k order). Pure Column
+    * expression → whole-stage codegen, no ScalaUDF ser/de on the hot
+    * candidate-scoring path.
+    */
+  def cosineExprSafe(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    val na = dot(ad, ad)
+    val nb = dot(bd, bd)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(ad, bd) / sqrt(na * nb))
+  }
+
+  /** One Lloyd's round, map-side combinable end to end: assignment and
+    * per-partition (sum, count) accumulation are FUSED in a single
+    * mapPartitions (each task emits ≤ nCentroids rows, with the member
+    * count appended as the last array slot), then a posexplode +
+    * groupBy(cid, pos) partial/final hash aggregation combines them.
+    * Shuffle volume is O(partitions · nCentroids · dim), independent of
+    * corpus size — no reducer ever streams raw embeddings (the round-1
+    * groupByKey.mapGroups shipped 1/nCentroids of the corpus to a single
+    * task, which dies at 10^12 rows).
+    */
+  private[graft] def centroidUpdateDF(spark: SparkSession,
+                                    vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                                    centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    vecs.mapPartitions { it =>
+      val cs = bc.value
+      val sums = new Array[Array[Double]](cs.length)
+      it.foreach { case (_, emb) =>
+        var best = 0; var bestSim = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          val s = dotNorm(cs(i), emb)
+          if (s > bestSim) { bestSim = s; best = i }
+          i += 1
+        }
+        if (sums(best) == null) sums(best) = new Array[Double](emb.length + 1)
+        val acc = sums(best)
+        var d = 0
+        val n = math.min(emb.length, acc.length - 1)
+        while (d < n) { acc(d) += emb(d); d += 1 }
+        acc(acc.length - 1) += 1 // member count rides in the last slot
+      }
+      Iterator.range(0, cs.length).filter(sums(_) != null)
+        .map(c => (c, sums(c)))
+    }
+      .toDF("cid", "sums")
+      .select(col("cid"), posexplode(col("sums")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+  }
+
   /** IVF (inverted-file) ANN: coarse k-means centroids partition the
     * corpus; a query probes only its `nProbe` nearest centroids' lists.
     *
     * The centroid set is tiny (nCentroids × dim floats) and driver-held /
     * broadcast; training is `iters` rounds of Lloyd's over the corpus —
-    * each round ONE map (assign) + ONE balanced groupBy (mean), i.e.
-    * O(iters) scans at 10^12 scale, done once offline. Search shuffles
-    * nothing: assignments are a narrow map, candidate lists meet queries
-    * in a broadcast join on centroid id.
+    * each round is ONE fused assign+combine scan (see [[centroidUpdateDF]])
+    * whose shuffle and collect are O(nCentroids · dim), i.e. O(iters)
+    * scans at 10^12 scale, done once offline. Search shuffles nothing:
+    * assignments are a narrow map, candidate lists meet queries in a
+    * broadcast join on centroid id.
     */
   def kmeansCentroids(spark: SparkSession, corpus: DataFrame, nCentroids: Int,
                       iters: Int, seed: Long = 42L): Array[(Int, Array[Float])] = {
@@ -213,32 +272,18 @@ object Similarity {
     require(centroids.nonEmpty, "kmeans init: empty sample")
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = vecs.map { case (_, emb) =>
-        val cs = bc.value
-        var best = 0; var bestSim = Double.MinValue
-        var i = 0
-        while (i < cs.length) {
-          val s = dotNorm(cs(i), emb)
-          if (s > bestSim) { bestSim = s; best = i }
-          i += 1
-        }
-        (best, emb)
+      // collect is ≤ nCentroids · (dim+1) rows regardless of corpus size
+      val rows = centroidUpdateDF(spark, vecs, centroids).collect()
+      val acc = new java.util.HashMap[Int, Array[Double]]()
+      rows.foreach { r =>
+        val cid = r.getInt(0); val pos = r.getInt(1); val s = r.getDouble(2)
+        acc.computeIfAbsent(cid, _ => new Array[Double](centroids(cid).length + 1))(pos) = s
       }
-      // mean per centroid: map-side-combinable sum/count over fixed-dim arrays
-      val sums = assigned.groupByKey(_._1)
-        .mapGroups { (cid, rows) =>
-          var n = 0L; var acc: Array[Double] = null
-          rows.foreach { case (_, e) =>
-            if (acc == null) acc = new Array[Double](e.length)
-            var i = 0
-            while (i < e.length && i < acc.length) { acc(i) += e(i); i += 1 }
-            n += 1
-          }
-          (cid, acc.map(x => (x / n).toFloat))
-        }.collect()
       val updated = centroids.clone()
-      sums.foreach { case (cid, c) => updated(cid) = c }
+      acc.forEach { (cid, sums) =>
+        val n = sums(sums.length - 1)
+        if (n > 0) updated(cid) = sums.dropRight(1).map(x => (x / n).toFloat)
+      }
       centroids = updated
       it += 1
     }
@@ -264,35 +309,71 @@ object Similarity {
       .as[(Long, Array[Float])]
       .flatMap { case (qid, e) => nearestCentroids(e, nProbe).map(c => (c, qid, e)) }
       .toDF("cid", "q_id", "q_emb")
-    val simUdf = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), "cid")
-      .withColumn("sim", simUdf(col("q_emb"), col("embedding")))
+      .withColumn("sim", cosineExprSafe(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: vectors whose cosine ≥ `minSim`
-    * within an LSH bucket (the embedding-space analogue of minhash dedup).
+  /** Embedding-cosine near-duplicate PAIRS, scale-safe: `bands`
+    * independent sign-LSH signatures (bitsPerBand bits each, seeded per
+    * band) bucket the corpus `bands` times; each (band, sig) bucket
+    * contributes (anchor = min vec_id, other) STAR pairs — O(bucket size)
+    * candidates and O(1) aggregation state, mirroring
+    * [[Sketches.minhashCandidatePairs]]. The round-1 within-bucket
+    * self-join grew O(n²/2^nBits) with corpus size and any degenerate
+    * embedding cluster (e.g. many identical vectors) was a hot-bucket
+    * bomb; star pairs + connected components ([[cosineDupGroups]]) keep
+    * the same dup groups with linear candidate volume. Candidates are
+    * verified by exact cosine ≥ `minSim`.
     */
   def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,
-                     nBits: Int = 10, seed: Long = 42L): DataFrame = {
+                     bands: Int = 4, bitsPerBand: Int = 8,
+                     seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
-    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
-    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
-    val withB = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", sigUdf(col("embedding")))
-    val a = withB.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = withB.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val simUdf = udf((x: Array[Float], y: Array[Float]) => dotNorm(x, y))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b")) // each pair once
-      .withColumn("sim", simUdf(col("emb_a"), col("emb_b")))
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(bands)(b => hyperplanes(dim, bitsPerBand, seed + 101L * b)))
+    val sigsUdf = udf { (v: Array[Float]) =>
+      planes.value.map(p => signature(p, v))
+    }
+    val emb = corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val banded = emb
+      .select(col("vec_id"), posexplode(sigsUdf(col("embedding"))).as(Seq("band", "sig")))
+    val anchors = banded.groupBy(col("band"), col("sig"))
+      .agg(min(col("vec_id")).as("anchor"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val cand = banded.join(anchors, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("sim", cosineExprSafe(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= minSim)
-      .select("id_a", "id_b", "sim")
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Transitive closure of [[cosineDupPairs]]: connected components over
+    * the verified pairs → (component, n_members) dup groups — the
+    * embedding-space analogue of minhash dedup groups, and the form whose
+    * result is comparable to an all-pairs threshold join (a star pair set
+    * has the same components as the full within-threshold pair set when
+    * buckets capture the duplicates; SimilaritySpec asserts equality to
+    * the brute-force closure on planted dups).
+    */
+  def cosineDupGroups(spark: SparkSession, corpus: DataFrame, minSim: Double,
+                      bands: Int = 4, bitsPerBand: Int = 8,
+                      seed: Long = 42L): DataFrame = {
+    val pairs = cosineDupPairs(spark, corpus, minSim, bands, bitsPerBand, seed)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    Dedup.connectedComponentsAuto(pairs) // every node incl. roots → (member, component)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
   }
 }

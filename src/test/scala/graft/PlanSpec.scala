@@ -64,4 +64,20 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted("doc_quality").contains("WholeStageCodegen") ||
       !formatted("doc_quality").contains("ScalaUDF"))
   }
+
+  test("kmeans centroid update aggregates with a map-side partial") {
+    import spark.implicits._
+    val vecs = spark.range(100)
+      .select($"id", org.apache.spark.sql.functions.array(
+        ($"id" % 7).cast("float"), ($"id" % 3).cast("float")).as("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val plan = graft.ops.Similarity.centroidUpdateDF(spark, vecs, centroids)
+      .queryExecution.executedPlan.toString
+    // the shuffle carries pre-combined (cid, pos) partial sums, never raw
+    // embeddings (the round-1 groupByKey.mapGroups shipped 1/nCentroids of
+    // the corpus to one reducer task)
+    assert(plan.contains("partial_sum"), plan.take(2000))
+    assert(!plan.contains("MapGroups"), plan.take(2000))
+  }
 }

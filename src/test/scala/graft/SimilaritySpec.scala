@@ -60,6 +60,111 @@ class SimilaritySpec extends AnyFunSuite {
     assertSelfTop1(Similarity.ivfTopK(spark, emb, queries, k = 5))
   }
 
+  /** Planted-dup corpus: 40 well-separated bases; bases 0-9 get 1-3
+    * near-copies (1e-4 perturbation — same sign signatures w.h.p.).
+    * Deterministic (seeded splitmix via Synth-style hashing).
+    */
+  private def plantedDups: (org.apache.spark.sql.DataFrame, Map[Long, Set[Long]]) = {
+    import spark.implicits._
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long, dim: Int): Array[Float] = {
+      val v = Array.tabulate(dim)(d => (mix(seed * 1009L + d).toDouble / Long.MaxValue).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 16
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    val groups = scala.collection.mutable.Map[Long, Set[Long]]()
+    var nextId = 0L
+    (0 until 40).foreach { b =>
+      val base = unit(b + 1L, dim)
+      val baseId = nextId; nextId += 1
+      rows += ((baseId, base))
+      if (b < 10) {
+        val nCopies = 1 + (mix(b + 7L) & 0x7fffffffL).toInt % 3
+        val ids = (0 until nCopies).map { c =>
+          val pert = base.zipWithIndex.map { case (x, d) =>
+            x + 1e-4f * (mix(b * 31L + c * 7L + d).toDouble / Long.MaxValue).toFloat
+          }
+          val id = nextId; nextId += 1
+          rows += ((id, pert)); id
+        }
+        groups(baseId) = (ids :+ baseId).toSet
+      }
+    }
+    // a zero vector must score 0.0 against everything (not NaN) and join no group
+    rows += ((nextId, Array.fill(dim)(0.0f)))
+    (rows.toSeq.toDF("vec_id", "embedding"), groups.toMap)
+  }
+
+  test("cosineDupGroups equals the brute-force threshold transitive closure") {
+    import spark.implicits._
+    val (corpus, planted) = plantedDups
+    val got = Similarity.cosineDupGroups(spark, corpus, minSim = 0.999)
+      .as[(Long, Long)].collect().toMap
+    // brute-force closure: all-pairs ≥ minSim → union-find (in-test oracle)
+    val vecs = corpus.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cos(vecs(i)._2, vecs(j)._2) >= 0.999) {
+      val (a, b) = (find(vecs(i)._1), find(vecs(j)._1))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val want = vecs.map(_._1).groupBy(find).filter(_._2.length >= 2)
+      .map { case (root, ms) => root -> ms.length.toLong }
+    assert(got == want)
+    // and the planted groups are exactly recovered
+    planted.foreach { case (baseId, ids) => assert(got(baseId) == ids.size.toLong) }
+  }
+
+  test("cosineExprSafe: zero vectors score 0.0, not NaN") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sims = df.select(Similarity.cosineExprSafe(col("embedding"),
+      array(lit(1.0f), lit(1.0f))).as("s")).as[Double].collect()
+    assert(sims.forall(!_.isNaN))
+    assert(sims.contains(0.0))
+  }
+
+  test("measured recall@5 on sf0.01 embeddings: multiprobe > single-probe") {
+    import spark.implicits._
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qs = emb01.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val truth = hits(Similarity.bruteForceTopK(spark, emb01, qs, k = 5))
+    def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
+    // recall/cost curve: fewer bits → bigger buckets → higher recall,
+    // more candidates scored (cost ∝ corpus/2^nBits per query)
+    val curve = Seq(4, 6, 8).map { b =>
+      b -> recall(hits(Similarity.lshBucketTopK(spark, emb01, qs, k = 5, nBits = b)))
+    }
+    val rSingle = curve.last._2
+    val rMulti = recall(hits(Similarity.lshMultiProbeTopK(spark, emb01, qs, k = 5, nBits = 8)))
+    val rIvf = recall(hits(Similarity.ivfTopK(spark, emb01, qs, k = 5)))
+    info(curve.map { case (b, r) => f"single@${b}bits=$r%.3f" }.mkString(" ") +
+      f" multi@8bits=$rMulti%.3f ivf(nProbe=2/16)=$rIvf%.3f")
+    // measured r2 (documented in BENCH/BASELINE.md): single@8=0.224,
+    // multi@8=0.304, ivf=0.516 — synthetic embeddings are near-uniform,
+    // the hardest case for LSH; the ordinal facts are the contract
+    assert(rMulti > rSingle, s"multi-probe $rMulti must beat single-probe $rSingle")
+    assert(rMulti >= 0.25, s"multi-probe recall too low: $rMulti")
+    assert(rIvf >= 0.35, s"ivf recall too low: $rIvf")
+  }
+
   test("zip_with/aggregate cosine expression equals the kernel") {
     import spark.implicits._
     val pairs = emb.limit(10).select(col("vec_id"), col("embedding"))
