@@ -247,33 +247,33 @@ object SparkEntry {
           col("span.offset").as("offset"))
     }),
     "ext_categories" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
       Classify.run(extractedFor(s, d), bc).toDF()
         .groupBy(col("category")).agg(count(lit(1)).as("n_docs"))
     }),
     "ext_threads" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
       Threads.ranked(Threads.threads(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
     "ext_threads_near" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
       Threads.ranked(Threads.threadsNear(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
     "ext_threads_fuzzy" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
       Threads.ranked(Threads.threadsFuzzy(Classify.run(extractedFor(s, d), bc)))
         .select(col("title_norm"), col("size"))
     }),
     "ext_entities" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
       Classify.run(extractedFor(s, d), bc).toDF()
         .select(explode(col("entities")).as(Seq("class", "words")))
         .groupBy(col("class")).agg(count(lit(1)).as("n_docs"))
     }),
     "ext_top" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.loadDicts())
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
       Threads.top(Threads.threads(Classify.run(extractedFor(s, d), bc)))
         .select(col("category"), col("rank").cast("long").as("rank"),
           col("title_norm"), col("size")) // rank → long: DuckDB row_number is BIGINT

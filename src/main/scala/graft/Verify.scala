@@ -28,7 +28,7 @@ object Verify {
 
     // base tables for the ext_* oracles (written before the queries run)
     val ext = SparkEntry.extractedFor(spark, sfDir)
-    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.loadDicts())
+    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.defaultDicts)
     val classified = graft.gloss.Classify.run(ext, bc).toDF()
       .localCheckpoint(true) // one classify pass feeds both base tables
     classified

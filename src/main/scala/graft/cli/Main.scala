@@ -106,7 +106,7 @@ object Main {
         println(frames.mkString("[\n", ",\n", "\n]"))
 
       case "news" | "categories" =>
-        val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+        val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
         val classified = Classify.run(Extract.run(docs), bc)
         writeOut(docs.toDF(), "doc_id", df =>
           Classify.run(Extract.run(df.as[Doc]), bc).toDF()
@@ -132,7 +132,7 @@ object Main {
         val t0 = System.nanoTime()
         val nInput = docs.count()
         val t1 = System.nanoTime()
-        val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+        val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
         val classified = Classify.run(Extract.run(docs), bc).cache()
         val nKept = classified.count()
         val t2 = System.nanoTime()
@@ -151,7 +151,7 @@ object Main {
         classified.unpersist()
 
       case "threads" | "top" =>
-        val bc = spark.sparkContext.broadcast(Classify.loadDicts())
+        val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
         // two-stage at scale: persist classified once, then cluster; commit
         // units slice by title hash, so clusters never cross units
         val classified = Classify.run(Extract.run(docs), bc).cache()

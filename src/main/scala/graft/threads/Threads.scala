@@ -27,6 +27,10 @@ object Threads {
 
   /** classified docs → threads: (title_norm, category, size, articles).
     * Keeps clusters with ≥ 2 members (reference: glossary.rs:234-236).
+    * Thread category is `min(category)` across members (deviation D7):
+    * the reference's `ncategories` memo is last-writer-wins over BTreeMap
+    * iteration order (glossary.rs:248-253) — nondeterministic and not
+    * map-side combinable; min is both.
     */
   def threads(classified: Dataset[ClassifiedDoc], k: Int = ArticleSampleK): DataFrame = {
     val phase1 = classified.toDF()
