@@ -30,6 +30,15 @@ object SparkEntry {
     Synth.extracted(spark, seed = 42L, nDocs = n)
   }
 
+  /** Candidate pairs for the n-gram-Jaccard demo query (first two sampled
+    * members of each minhash band bucket) — shared with Verify's oracle
+    * base dump so the DuckDB side verifies the same pair set.
+    */
+  def ngramCandPairs(docs: DataFrame): DataFrame =
+    Sketches.minhashDupGroups(docs, sampleK = 4)
+      .select(col("doc_ids")(0).as("doc_id_a"), col("doc_ids")(1).as("doc_id_b"))
+      .filter(col("doc_id_b").isNotNull).distinct()
+
   /** Flagship: end-to-end extraction on sf0.001-scale synth corpus. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -177,15 +186,17 @@ object SparkEntry {
         .select(col("sh"), col("n"),
           concat_ws(",", transform(col("doc_ids"), _.cast("string"))).as("doc_ids"))),
     "doc_simhash_near" -> ((s, d) =>
-      Sketches.simhashNearDupPairs(t(s, d, "documents"))),
+      Sketches.simhashNearDupPairs(t(s, d, "documents"))
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))), // DuckDB bit_count → BIGINT
     "doc_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cand = Sketches.minhashDupGroups(docs, sampleK = 4)
-        .select(col("doc_ids")(0).as("doc_id_a"), col("doc_ids")(1).as("doc_id_b"))
-        .filter(col("doc_id_b").isNotNull).distinct()
-      Sketches.jaccardVerify(docs, cand, minJaccard = 0.5)
+      Sketches.jaccardVerify(docs, ngramCandPairs(docs), minJaccard = 0.5)
+        // ×10000-floored integer: exact cross-engine compare, no
+        // round-half semantics drift (both engines do the same double
+        // division i/(na+nb-i), so the floor is bit-deterministic)
         .select(col("doc_id_a"), col("doc_id_b"),
-          round(col("jaccard"), 4).as("jaccard"))
+          floor(col("jaccard") * 10000).cast("long").as("jaccard_x10k"))
     }),
 
     "doc_neardup_groups" -> ((s, d) =>
@@ -198,28 +209,28 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
       Similarity.bruteForceTopK(s, emb, queries, k = 5)
-        .select(col("q_id"), col("vec_id"), col("rank"))
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
     "ann_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
       Similarity.lshBucketTopK(s, emb, queries, k = 5, nBits = 6)
-        .select(col("q_id"), col("vec_id"), col("rank"))
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
     "ann_lsh_multiprobe" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
       Similarity.lshMultiProbeTopK(s, emb, queries, k = 5, nBits = 8)
-        .select(col("q_id"), col("vec_id"), col("rank"))
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
     "ann_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
       Similarity.ivfTopK(s, emb, queries, k = 5)
-        .select(col("q_id"), col("vec_id"), col("rank"))
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
     "emb_cosine_dup" -> ((s, d) =>
       Similarity.cosineDupPairs(s, t(s, d, "embeddings"), minSim = 0.4,
@@ -233,7 +244,9 @@ object SparkEntry {
     "media_frame_plan" -> ((s, d) =>
       Multimodal.frameSamplePlan(
         Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents"))),
-        stride = 30)),
+        stride = 30)
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"))), // DuckDB range → BIGINT
 
     // ---- the reference pipeline (extraction → classify → threads) -----
     "ext_lang_split" -> ((s, d) => {
@@ -404,6 +417,134 @@ object SparkEntry {
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |strlen(text) AS n_bytes FROM documents""".stripMargin,
 
+    // ---- sketch-family tails over materialized base tables -----------
+    // The hash kernels (FNV minhash/simhash/shingles, Murmur3 band keys)
+    // are not DuckDB-expressible; Verify materializes their per-doc
+    // outputs to $outDir/_base and DuckDB re-derives every relational
+    // tail: banding, bucket grouping, sampling, hamming pairing, Jaccard
+    // arithmetic, and connected components (recursive CTE).
+    "doc_minhash_dedup" ->
+      """SELECT band, bkey, count(*) AS n,
+        |array_to_string(list_sort(list(doc_id))[1:5], ',') AS doc_ids
+        |FROM read_parquet('{OUT}/_base/minhash_banded/*.parquet')
+        |GROUP BY band, bkey HAVING count(*) >= 2""".stripMargin,
+    "doc_simhash_dedup" ->
+      """SELECT sh, count(*) AS n,
+        |array_to_string(list_sort(list(doc_id))[1:5], ',') AS doc_ids
+        |FROM read_parquet('{OUT}/_base/simhash/*.parquet')
+        |GROUP BY sh HAVING count(*) >= 2""".stripMargin,
+    "doc_simhash_near" ->
+      """WITH sh AS (SELECT doc_id, sh FROM read_parquet('{OUT}/_base/simhash/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, sh, bb.band AS band, (sh >> (bb.band*16)) & 65535 AS bkey
+        |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bb)
+        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+        |FROM banded x JOIN banded y
+        |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin,
+    "doc_ngram_jaccard" ->
+      """WITH cand AS (SELECT doc_id_a, doc_id_b FROM read_parquet('{OUT}/_base/jaccard_cand/*.parquet')),
+        |sh AS (SELECT doc_id, h FROM read_parquet('{OUT}/_base/shingles/*.parquet')),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_id_a
+        |              JOIN sh y ON y.doc_id = c.doc_id_b AND y.h = x.h
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_id_a, i.doc_id_b,
+        |  CAST(floor(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) * 10000) AS BIGINT) AS jaccard_x10k
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_id_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_id_b
+        |WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5""".stripMargin,
+    "doc_neardup_groups" ->
+      """WITH RECURSIVE
+        |base AS (SELECT a, b FROM read_parquet('{OUT}/_base/neardup_pairs/*.parquet')),
+        |edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |comp AS (SELECT src AS member, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT component, count(*) AS n_members FROM comp GROUP BY component""".stripMargin,
+    "media_frame_plan" ->
+      """SELECT doc_id, unnest(range(0, frames, 30)) AS frame_idx
+        |FROM read_parquet('{OUT}/_base/media_meta/*.parquet')
+        |WHERE kind = 'video'""".stripMargin,
+    // ---- ANN oracles: DuckDB DOUBLE[] cosine + window rank -----------
+    // DuckDB's list_cosine_similarity on DOUBLE[] matches our double
+    // kernel to ~1 ulp; a rank flip needs two distinct candidates whose
+    // sims differ by <1 ulp (the embeddings tables carry no duplicate or
+    // zero vectors — verified). Signature/assignment bases materialized
+    // by Verify; the probe-join + rank tail re-derives in SQL.
+    "ann_brute_topk" ->
+      """SELECT q_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id % 100 = 0)
+        |WHERE rank <= 5""".stripMargin,
+    "ann_lsh_topk" ->
+      """WITH s AS (SELECT vec_id, sig FROM read_parquet('{OUT}/_base/ann_sig6/*.parquet')),
+        |q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, s.sig
+        |      FROM embeddings e JOIN s ON s.vec_id = e.vec_id WHERE e.vec_id % 100 = 0),
+        |c AS (SELECT e.vec_id, e.embedding, s.sig
+        |      FROM embeddings e JOIN s ON s.vec_id = e.vec_id)
+        |SELECT q_id, vec_id, rank FROM (
+        |  SELECT q.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_emb::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM q JOIN c ON c.sig = q.sig)
+        |WHERE rank <= 5""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      """WITH s AS (SELECT vec_id, sig FROM read_parquet('{OUT}/_base/ann_sig8/*.parquet')),
+        |q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, s.sig
+        |      FROM embeddings e JOIN s ON s.vec_id = e.vec_id WHERE e.vec_id % 100 = 0),
+        |probes AS (SELECT q_id, q_emb,
+        |             CASE WHEN bb.b = 8 THEN sig ELSE xor(sig, 1 << bb.b) END AS bucket
+        |           FROM q CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8]) AS b) bb),
+        |c AS (SELECT e.vec_id, e.embedding, s.sig
+        |      FROM embeddings e JOIN s ON s.vec_id = e.vec_id)
+        |SELECT q_id, vec_id, rank FROM (
+        |  SELECT p.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(p.q_emb::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM probes p JOIN c ON c.sig = p.bucket)
+        |WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" ->
+      """SELECT q_id, vec_id, rank FROM (
+        |  SELECT p.q_id, a.vec_id,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |               a.vec_id) AS rank
+        |  FROM read_parquet('{OUT}/_base/ivf_probes/*.parquet') p
+        |  JOIN read_parquet('{OUT}/_base/ivf_assign/*.parquet') a ON a.cid = p.cid
+        |  JOIN embeddings qe ON qe.vec_id = p.q_id
+        |  JOIN embeddings ce ON ce.vec_id = a.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+
+    // anchor-star + exact-cosine verify over materialized banded sigs;
+    // DuckDB's DOUBLE[] cosine matches our double kernel to ~1 ulp —
+    // a disagreement needs a pair within 1 ulp of exactly 0.4
+    "emb_cosine_dup" ->
+      """WITH banded AS (SELECT vec_id, band, sig FROM read_parquet('{OUT}/_base/emb_banded/*.parquet')),
+        |anchors AS (SELECT band, sig, min(vec_id) AS anchor
+        |            FROM banded GROUP BY band, sig HAVING count(*) >= 2),
+        |cand AS (SELECT DISTINCT a.anchor AS id_a, b.vec_id AS id_b
+        |         FROM banded b JOIN anchors a ON a.band = b.band AND a.sig = b.sig
+        |         WHERE b.vec_id <> a.anchor)
+        |SELECT c.id_a, c.id_b
+        |FROM cand c
+        |JOIN embeddings x ON x.vec_id = c.id_a
+        |JOIN embeddings y ON y.vec_id = c.id_b
+        |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
     // ---- the reference pipeline's relational tails -------------------
     // These read the per-doc base tables that Verify materializes to
     // $outDir/_base (the extraction/classify kernels themselves are
@@ -429,6 +570,28 @@ object SparkEntry {
       """SELECT title_norm, count(*) AS size
         |FROM read_parquet('{OUT}/_base/classified/*.parquet')
         |GROUP BY title_norm HAVING count(*) >= 2""".stripMargin,
+    "ext_threads_near" ->
+      """SELECT min(title_norm) AS title_norm, count(*) AS size
+        |FROM read_parquet('{OUT}/_base/near_keyed/*.parquet')
+        |GROUP BY cluster_key HAVING count(*) >= 2""".stripMargin,
+    "ext_threads_fuzzy" ->
+      """WITH RECURSIVE
+        |base AS (SELECT a, b FROM read_parquet('{OUT}/_base/fuzzy_pairs/*.parquet')),
+        |edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |comp AS (SELECT src AS member, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src),
+        |titles AS (SELECT t.title_norm, coalesce(c.component, t.tid) AS component
+        |           FROM read_parquet('{OUT}/_base/title_tid/*.parquet') t
+        |           LEFT JOIN comp c ON c.member = t.tid),
+        |docs AS (SELECT d.title_norm, ti.component
+        |         FROM read_parquet('{OUT}/_base/classified/*.parquet') d
+        |         JOIN titles ti ON ti.title_norm = d.title_norm)
+        |SELECT min(title_norm) AS title_norm, count(*) AS size
+        |FROM docs GROUP BY component HAVING count(*) >= 2""".stripMargin,
     "ext_top" ->
       """WITH th AS (
         |  SELECT title_norm, count(*) AS size, min(category) AS category

@@ -45,6 +45,51 @@ object Verify {
         col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/spans")
 
+    // clustering-key bases: DuckDB re-derives the near (simhash-band
+    // groupBy) and fuzzy (CC over verified title pairs) thread tails
+    graft.threads.Threads.nearKeyed(classified)
+      .select(col("cluster_key"), col("title_norm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/near_keyed")
+    val fuzzyTitles = graft.threads.Threads.fuzzyTitles(classified)
+    fuzzyTitles.select(col("tid"), col("title_norm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/title_tid")
+    graft.threads.Threads.fuzzyVerifiedPairs(fuzzyTitles)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/fuzzy_pairs")
+
+    // sketch-kernel base tables over the documents table: the hash
+    // kernels run here once; DuckDB re-derives the relational tails
+    // (banding/grouping/sampling/jaccard/CC) from these rows
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.ops.Sketches.minhashBanded(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/minhash_banded")
+    graft.ops.Sketches.simhashTable(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/simhash")
+    graft.ops.Sketches.shingleTable(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/shingles")
+    SparkEntry.ngramCandPairs(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/jaccard_cand")
+    graft.ops.Dedup.nearDupPairs(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/neardup_pairs")
+    graft.ops.Multimodal.extractMeta(graft.ops.Multimodal.mediaTable(docs)).toDF()
+      .select(col("doc_id"), col("kind"), col("frames"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/media_meta")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.ops.Similarity.signBanded(spark, emb)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/emb_banded")
+    graft.ops.Similarity.sigTable(spark, emb, nBits = 6)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ann_sig6")
+    graft.ops.Similarity.sigTable(spark, emb, nBits = 8)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ann_sig8")
+    val annQueries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val (ivfAssign, ivfProbes) =
+      graft.ops.Similarity.ivfAssignProbes(spark, emb, annQueries)
+    ivfAssign.select(col("vec_id"), col("cid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ivf_assign")
+    ivfProbes.select(col("q_id"), col("cid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ivf_probes")
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

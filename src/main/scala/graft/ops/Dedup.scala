@@ -148,16 +148,25 @@ object Dedup {
       .toDF("member", "component")
   }
 
+  /** Verified near-dup edges (a, b): anchor-star LSH candidates →
+    * exact-Jaccard filter. Shared by [[nearDupGroups]] and by Verify's
+    * external oracle (which recomputes the CC tail in DuckDB via a
+    * recursive CTE over this table).
+    */
+  def nearDupPairs(docs: DataFrame, shingleN: Int = 3,
+                   minJaccard: Double = 0.5): DataFrame = {
+    // anchor-star candidate pairs: linear in bucket size, no truncation
+    val cand = Sketches.minhashCandidatePairs(docs, shingleN)
+    Sketches.jaccardVerify(docs, cand, shingleN, minJaccard)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+  }
+
   /** Full near-dup pipeline: LSH candidates → Jaccard verify →
     * connected components → groups with sizes + bounded member sample.
     */
   def nearDupGroups(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.5,
                     sampleK: Int = 10): DataFrame = {
-    // anchor-star candidate pairs: linear in bucket size, no truncation
-    val cand = Sketches.minhashCandidatePairs(docs, shingleN)
-    val verified = Sketches.jaccardVerify(docs, cand,
-      shingleN, minJaccard)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val verified = nearDupPairs(docs, shingleN, minJaccard)
     // hybrid CC: driver union-find for small candidate graphs,
     // distributed star above the threshold
     connectedComponentsAuto(verified)

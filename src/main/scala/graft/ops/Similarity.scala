@@ -291,10 +291,15 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
-  /** IVF search: assign corpus once, probe `nProbe` centroid lists. */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 2,
-              iters: Int = 3, seed: Long = 42L): DataFrame = {
+  /** Corpus assignment (cid, vec_id, embedding) + query probe lists
+    * (cid, q_id, q_emb) for IVF — the searchable index. Public so Verify
+    * can materialize (vec_id, cid) / (q_id, cid) for the external oracle,
+    * which re-derives the probe-join + rank tail in DuckDB. Deterministic:
+    * training is a pure function of (corpus, params, seed).
+    */
+  def ivfAssignProbes(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                      nCentroids: Int = 16, nProbe: Int = 2,
+                      iters: Int = 3, seed: Long = 42L): (DataFrame, DataFrame) = {
     import spark.implicits._
     val centroids = kmeansCentroids(spark, corpus, nCentroids, iters, seed)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -309,6 +314,15 @@ object Similarity {
       .as[(Long, Array[Float])]
       .flatMap { case (qid, e) => nearestCentroids(e, nProbe).map(c => (c, qid, e)) }
       .toDF("cid", "q_id", "q_emb")
+    (assigned, probes)
+  }
+
+  /** IVF search: assign corpus once, probe `nProbe` centroid lists. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val (assigned, probes) =
+      ivfAssignProbes(spark, corpus, queries, nCentroids, nProbe, iters, seed)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -331,9 +345,26 @@ object Similarity {
     * the same dup groups with linear candidate volume. Candidates are
     * verified by exact cosine ≥ `minSim`.
     */
-  def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,
-                     bands: Int = 4, bitsPerBand: Int = 8,
-                     seed: Long = 42L): DataFrame = {
+  /** (vec_id, sig) single sign-LSH signature at `nBits` — the same planes
+    * the lshBucketTopK/lshMultiProbeTopK paths hash with (pure function
+    * of (dim, nBits, seed)); public for Verify's oracle base dump.
+    */
+  def sigTable(spark: SparkSession, corpus: DataFrame, nBits: Int,
+               seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).as[Int].head()
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
+    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
+    corpus.select(col("vec_id").cast("long").as("vec_id"),
+      sigUdf(col("embedding")).as("sig"))
+  }
+
+  /** (vec_id, band, sig) banded sign-LSH signatures — the shared base of
+    * [[cosineDupPairs]] and of Verify's external oracle (which re-derives
+    * the anchor-star + verify tail in DuckDB from this table).
+    */
+  def signBanded(spark: SparkSession, corpus: DataFrame, bands: Int = 4,
+                 bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
     val planes = spark.sparkContext.broadcast(
@@ -341,9 +372,15 @@ object Similarity {
     val sigsUdf = udf { (v: Array[Float]) =>
       planes.value.map(p => signature(p, v))
     }
-    val emb = corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val banded = emb
+    corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .select(col("vec_id"), posexplode(sigsUdf(col("embedding"))).as(Seq("band", "sig")))
+  }
+
+  def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,
+                     bands: Int = 4, bitsPerBand: Int = 8,
+                     seed: Long = 42L): DataFrame = {
+    val emb = corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val banded = signBanded(spark, corpus, bands, bitsPerBand, seed)
     val anchors = banded.groupBy(col("band"), col("sig"))
       .agg(min(col("vec_id")).as("anchor"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)

@@ -104,24 +104,32 @@ object Sketches {
       .toDF("doc_id", "sig")
   }
 
-  /** MinHash+LSH near-dup groups (kernel-backed twin of
-    * TextOps.minhashDupGroups — same banding/groupBy shape).
+  /** (doc_id, band, bkey) banded minhash rows — the shared base of the
+    * dup-group / candidate-pair tails (and of Verify's external oracle,
+    * which re-derives those tails in DuckDB from this table).
     */
-  def minhashDupGroups(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
-                       rowsPerBand: Int = 4, sampleK: Int = 5): DataFrame = {
+  def minhashBanded(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
+                    rowsPerBand: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, shingleN, bands * rowsPerBand)
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*)).as("bb"))
-    banded
-      .groupBy(col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** MinHash+LSH near-dup groups (kernel-backed twin of
+    * TextOps.minhashDupGroups — same banding/groupBy shape).
+    */
+  def minhashDupGroups(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
+                       rowsPerBand: Int = 4, sampleK: Int = 5): DataFrame =
+    minhashBanded(docs, shingleN, bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"),
         slice(sort_array(collect_set(col("doc_id"))), 1, sampleK).as("doc_ids"))
       .filter(col("n") >= 2 && size(col("doc_ids")) >= 2)
-  }
 
   /** Candidate pairs from minhash bands WITHOUT per-bucket truncation:
     * each band bucket contributes (anchor=min member, other) star pairs —
@@ -133,14 +141,7 @@ object Sketches {
     */
   def minhashCandidatePairs(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
                             rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, shingleN, bands * rowsPerBand)
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = minhashBanded(docs, shingleN, bands, rowsPerBand)
     val anchors = banded.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
@@ -150,14 +151,21 @@ object Sketches {
       .distinct()
   }
 
-  /** SimHash near-dup groups, kernel-backed. */
-  def simhashDupGroups(docs: DataFrame, sampleK: Int = 5): DataFrame = {
+  /** (doc_id, sh) 64-bit simhash per doc — shared base of the dup-group
+    * / near-pair tails and of Verify's external oracle.
+    */
+  def simhashTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, simhash(text)) })
       .toDF("doc_id", "sh")
+  }
+
+  /** SimHash near-dup groups, kernel-backed. */
+  def simhashDupGroups(docs: DataFrame, sampleK: Int = 5): DataFrame = {
+    simhashTable(docs)
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("n"),
         slice(sort_array(collect_list(col("doc_id"))), 1, sampleK).as("doc_ids"))
@@ -174,12 +182,7 @@ object Sketches {
   def simhashNearDupPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
                           sampleK: Int = 5): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming ≤ bands-1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sh = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, simhash(text)) })
-      .toDF("doc_id", "sh")
+    val sh = simhashTable(docs)
       .localCheckpoint(true) // compute signatures once across all bands
     val width = 64 / bands
     val banded = sh.select(
@@ -200,20 +203,27 @@ object Sketches {
       .distinct() // pairs sharing several bands appear once
   }
 
+  /** (doc_id, sh: sorted distinct shingle hashes) per doc — shared base
+    * of jaccardVerify and of Verify's external oracle (exploded there).
+    */
+  def shingleTable(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, shingleHashes(text, shingleN).distinct.sorted)
+      })
+      .toDF("doc_id", "sh")
+  }
+
   /** Exact word-shingle Jaccard for candidate pairs, kernel-backed:
     * distinct shingle-hash sets per doc (computed once), then
     * intersection/union on sorted long arrays.
     */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
                     minJaccard: Double = 0.8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sh = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, shingleHashes(text, shingleN).distinct.sorted)
-      })
-      .toDF("doc_id", "sh")
+    val sh = shingleTable(docs, shingleN)
     pairs
       .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), "doc_id_a")
       .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), "doc_id_b")

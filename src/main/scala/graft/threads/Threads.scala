@@ -60,17 +60,23 @@ object Threads {
     * other half); at 10^12 docs the band groupBy is the recall lever:
     * fewer band bits → coarser clusters, same shuffle shape.
     */
-  def threadsNear(classified: Dataset[ClassifiedDoc], bandBits: Int = 48,
-                  k: Int = ArticleSampleK): DataFrame = {
+  /** (cluster_key, doc_id, title_norm, category) — the simhash-band-keyed
+    * rows [[threadsNear]] groups; public so Verify can materialize them
+    * for the external (DuckDB) re-derivation of the grouping tail.
+    */
+  def nearKeyed(classified: DataFrame, bandBits: Int = 48): DataFrame =
     // native codegen expression (graft.functions.SimHash64Title): the key
     // is computed inside the scan's WholeStageCodegen loop — no encoder
     // boundary, no ScalaUDF ser/de
-    val keyed = classified.toDF()
-      .select(
-        shiftrightunsigned(
-          graft.functions.GraftFunctions.simhash64_title(col("title_norm")),
-          64 - bandBits).as("cluster_key"),
-        col("doc_id"), col("title_norm"), col("category"))
+    classified.select(
+      shiftrightunsigned(
+        graft.functions.GraftFunctions.simhash64_title(col("title_norm")),
+        64 - bandBits).as("cluster_key"),
+      col("doc_id"), col("title_norm"), col("category"))
+
+  def threadsNear(classified: Dataset[ClassifiedDoc], bandBits: Int = 48,
+                  k: Int = ArticleSampleK): DataFrame = {
+    val keyed = nearKeyed(classified.toDF(), bandBits)
     val phase1 = keyed
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
       .groupBy(col("cluster_key"), col("salt"))
@@ -108,22 +114,34 @@ object Threads {
     * Scale: steps 2-4 run over DISTINCT TITLES (≪ docs); only step 5
     * touches the doc table, with the same hot-key-safe shape.
     */
-  def threadsFuzzy(classified: Dataset[ClassifiedDoc], minJaccard: Double = 0.5,
-                   k: Int = ArticleSampleK): DataFrame = {
-    import graft.ops.{Dedup, Sketches}
-    val spark = classified.sparkSession
-    import spark.implicits._
-    val titles = classified.select(col("title_norm")).distinct()
+  /** (tid, title_norm) distinct titles — the names_db equivalent; public
+    * for Verify's oracle base dump. Checkpointed: feeds both the pair
+    * generation and the component join.
+    */
+  def fuzzyTitles(classified: DataFrame): DataFrame =
+    classified.select(col("title_norm")).distinct()
       .withColumn("tid", xxhash64(col("title_norm")))
       .localCheckpoint(true)
+
+  /** Verified fuzzy-duplicate title pairs (a, b) over [[fuzzyTitles]]:
+    * minhash anchor-star candidates → exact token-Jaccard filter.
+    */
+  def fuzzyVerifiedPairs(titles: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    import graft.ops.Sketches
     val asDocs = titles.select(col("tid").as("doc_id"), col("title_norm").as("text"))
     // anchor-star candidate pairs (untruncated even for huge buckets of
     // templated titles); CC restores transitivity
     val cand = Sketches.minhashCandidatePairs(asDocs, shingleN = 1, bands = 4,
         rowsPerBand = 2)
-    val verified = Sketches.jaccardVerify(asDocs, cand,
-        shingleN = 1, minJaccard)
+    Sketches.jaccardVerify(asDocs, cand, shingleN = 1, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+  }
+
+  def threadsFuzzy(classified: Dataset[ClassifiedDoc], minJaccard: Double = 0.5,
+                   k: Int = ArticleSampleK): DataFrame = {
+    import graft.ops.Dedup
+    val titles = fuzzyTitles(classified.toDF())
+    val verified = fuzzyVerifiedPairs(titles, minJaccard)
     val comps = Dedup.connectedComponentsAuto(verified) // (member tid, component)
     val titleComp = titles
       .join(comps, titles("tid") === comps("member"), "left")
