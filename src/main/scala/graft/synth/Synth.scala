@@ -121,6 +121,20 @@ object Synth {
       singles.grouped(strideS).map(_.head).take(512)).toArray
   }
 
+  /** Cyrillic twin of [[plantPool]] for ru titles (the bert-dict carries
+    * ~thousands of Russian tokens across its entity classes).
+    */
+  lazy val plantPoolRu: Array[String] = {
+    val cyr = "^[а-яё0-9 ]+$".r
+    val ents = graft.gloss.Glossary.loadEntityClasses()
+    val singles = ents.toSeq.sortBy(_._1)
+      .flatMap(_._2.sorted)
+      .filter(t => !t.contains(' ') && t.length >= 5 && cyr.matches(t))
+      .distinct
+    val stride = math.max(1, singles.size / 512)
+    singles.grouped(stride).map(_.head).take(512).toArray
+  }
+
   private val imgHosts = Array("https://img.example.com/", "https://cdn.example.org/",
     "https://static.example.net/")
   private val embedHosts = Array("https://video.example.com/embed/",
@@ -198,6 +212,8 @@ object Synth {
       else if (kept0 && !noH1 && lang == "en" && rng.chance(8))
         // planted real-glossary term (corpus-rare → clears the idf gate)
         s"${rng.pick(plantPool)} ${rng.pick(enWord)} ${rng.pick(enStop)} ${rng.pick(enWord)}"
+      else if (kept0 && !noH1 && lang == "ru" && rng.chance(8))
+        s"${rng.pick(plantPoolRu)} ${rng.pick(ruWord)} ${rng.pick(ruStop)} ${rng.pick(ruWord)}"
       else words(rng, stop, word, entity, 4 + rng.nextInt(4), 3)
 
     // head + header/nav boilerplate (skipped by the emitter)
