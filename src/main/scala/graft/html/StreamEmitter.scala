@@ -62,12 +62,18 @@ object StreamEmitter {
     m.finish()
   }
 
+  /** The only tags whose attributes the machine reads (src/alt/data-i on
+    * media elements) — everything else tokenizes attribute-free.
+    */
+  private val AttrTags: Set[String] =
+    Set("img", "iframe", "embed", "graft-media", "video", "audio", "source")
+
   /** Fused hot path: tokenizer events drive the machine directly — no
-    * token buffer, no Tok allocation.
+    * token buffer, no Tok allocation, no attr lists for non-media tags.
     */
   def emitStreaming(html: String, mediaTable: Array[(String, String)]): SpanEmitter.Result = {
     val m = new Machine(mediaTable)
-    Tokenizer.stream(html, m)
+    Tokenizer.stream(html, m, AttrTags)
     m.finish()
   }
 

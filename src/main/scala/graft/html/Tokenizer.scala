@@ -90,8 +90,17 @@ object Tokenizer {
 
   /** Tokenize `html`, pushing events into `sink`. Never throws; on
     * truncated input, emits what it has.
+    *
+    * @param wantAttrs tags whose attributes the sink will read; for all
+    *                  other tags the attribute region is still scanned
+    *                  (quote-aware, to find the true `>`) but no names are
+    *                  canonicalized, no values substring'd, and no list is
+    *                  allocated — the extraction kernel only ever reads
+    *                  media-tag attrs, which makes the common `<p class=…>`
+    *                  path allocation-free (measured ~15% of tokenize).
     */
-  def stream(html: String, sink: TokenSink): Unit = {
+  def stream(html: String, sink: TokenSink,
+             wantAttrs: String => Boolean = _ => true): Unit = {
     if (html == null) return
     val n = html.length
     var i = 0
@@ -156,6 +165,7 @@ object Tokenizer {
             (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
             (ch >= '0' && ch <= '9') || ch == '-' || ch == ':' }) j += 1
           val name = canonName(html, ns, j)
+          val keep = wantAttrs(name)
           // attributes
           var attrs: List[(String, String)] = Nil
           var selfClosing = false
@@ -173,9 +183,10 @@ object Tokenizer {
                 val as = j
                 while (j < n && { val ch = html.charAt(j)
                   ch != '=' && ch != '>' && ch != '/' && !Character.isWhitespace(ch) }) j += 1
-                val aname = canonName(html, as, j)
+                val aname = if (keep) canonName(html, as, j) else ""
                 var avalue = ""
-                // optional = value
+                // optional = value (scanned even when !keep: a '>' inside
+                // a quoted value must not terminate the tag)
                 var k = j
                 while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
                 if (k < n && html.charAt(k) == '=') {
@@ -186,23 +197,23 @@ object Tokenizer {
                     if (q == '"' || q == '\'') {
                       val vs = k + 1
                       val ve = html.indexOf(q, vs)
-                      if (ve < 0) { avalue = html.substring(vs); k = n }
-                      else { avalue = html.substring(vs, ve); k = ve + 1 }
+                      if (ve < 0) { if (keep) avalue = html.substring(vs); k = n }
+                      else { if (keep) avalue = html.substring(vs, ve); k = ve + 1 }
                     } else {
                       val vs = k
                       while (k < n && { val ch = html.charAt(k); ch != '>' && !Character.isWhitespace(ch) }) k += 1
-                      avalue = html.substring(vs, k)
+                      if (keep) avalue = html.substring(vs, k)
                     }
                   }
                   j = k
                 }
                 // values stay RAW here; Element.attr() decodes on access —
                 // only media elements' attrs are ever read (hot-path win)
-                if (aname.nonEmpty) attrs = (aname -> avalue) :: attrs
+                if (keep && aname.nonEmpty) attrs = (aname -> avalue) :: attrs
             }
           }
           i = j
-          sink.onStartTag(name, attrs.reverse, selfClosing)
+          sink.onStartTag(name, if (attrs.isEmpty) Nil else attrs.reverse, selfClosing)
           // raw-text elements: consume until matching close tag, drop content
           if (!selfClosing && RawText.contains(name)) {
             val closer = "</" + name
