@@ -128,6 +128,22 @@ class SimilaritySpec extends AnyFunSuite {
     planted.foreach { case (baseId, ids) => assert(got(baseId) == ids.size.toLong) }
   }
 
+  test("cosineDupPairs candidate volume is LINEAR on a degenerate corpus") {
+    import spark.implicits._
+    // 3000 identical vectors all share every band signature — the round-1
+    // within-bucket self-join would generate ~4.5M pairs here; anchor-star
+    // must produce exactly n-1 (one per non-anchor, deduped across bands)
+    val n = 3000
+    val v = Array.tabulate(16)(d => (d + 1).toFloat)
+    val corpus = (0L until n.toLong).map(i => (i, v)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairs(spark, corpus, minSim = 0.999).collect()
+    assert(pairs.length == n - 1, s"expected ${n - 1} star pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L)) // anchor = min vec_id
+    val groups = Similarity.cosineDupGroups(spark, corpus, minSim = 0.999)
+      .as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((0L, n.toLong)))
+  }
+
   test("cosineExprSafe: zero vectors score 0.0, not NaN") {
     import spark.implicits._
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
