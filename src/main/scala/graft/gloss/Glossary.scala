@@ -82,7 +82,7 @@ object Glossary {
     "I L L U S I O N", "All You Can Eat", "Combat Force", "KILL la KILL -IF",
     "Hentai 2+2=4", "Door To Door")
 
-  private[gloss] def keepGameName(name: String): Boolean = {
+  def keepGameName(name: String): Boolean = {
     val lower = name.toLowerCase
     val nTok = name.split("\\s+").count(_.nonEmpty)
     !(name.length < 12 ||
