@@ -48,6 +48,15 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Tungsten byte path: ExtractSpansExpr over the scan — no encoder
+    * boundary, no Doc/Span objects, UTF-8 never decoded for dropped bytes.
+    */
+  def timeExtractParquetExpr(spark: SparkSession, dir: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = graft.extract.ExtractSpansExpr.run(spark.read.parquet(dir)).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Task-duration skew of one extraction run: (max task ms / mean task
     * ms, task count). The balanced-partition evidence the north_rule
     * asks for — a skew ratio near 1 means no straggler partitions.
@@ -88,6 +97,8 @@ object Bench {
     val (kept, _) = timeExtractParquet(spark, pq) // warmup (codegen + page cache)
     // best-of-3: the sandbox host is noisy; min filters external contention
     val extractSec = (1 to 3).map(_ => timeExtractParquet(spark, pq)._2).min
+    timeExtractParquetExpr(spark, pq) // warmup
+    val exprSec = (1 to 3).map(_ => timeExtractParquetExpr(spark, pq)._2).min
     val fusedSec = (1 to 3).map(_ => timeExtractFused(spark, nDocs, parts)._2).min
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -103,6 +114,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
+      s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +
       s""""fused_docs_per_sec":${nDocs / fusedSec},""" +
       s""""extract_task_skew":$skew,"extract_tasks":$nTasks,"cpus":$cpus}"""
     println(line)
@@ -136,11 +148,14 @@ object ScalingBench {
     Bench.timeExtractParquet(spark, pq) // warmup
     // best-of-3: the sandbox host is noisy; min filters external contention
     val pqSec = (1 to 3).map(_ => Bench.timeExtractParquet(spark, pq)._2).min
+    Bench.timeExtractParquetExpr(spark, pq) // warmup
+    val exprSec = (1 to 3).map(_ => Bench.timeExtractParquetExpr(spark, pq)._2).min
     val kept = Extract.run(spark.read.parquet(pq).as[Doc](
       org.apache.spark.sql.Encoders.product[Doc])).count()
     val fusedSec = (1 to 3).map(_ => Bench.timeExtractFused(spark, nDocs, 128)._2).min
     println(s"""{"bench":"scaling","cpus":$cpus,"docs":$nDocs,"kept":$kept,""" +
       s""""parquet_sec":$pqSec,"parquet_docs_per_sec":${nDocs / pqSec},""" +
+      s""""expr_sec":$exprSec,"expr_docs_per_sec":${nDocs / exprSec},""" +
       s""""fused_sec":$fusedSec,"fused_docs_per_sec":${nDocs / fusedSec}}""")
     spark.stop()
   }

@@ -45,15 +45,11 @@ object Extract {
     Fused(sb.toString, media.toArray)
   }
 
-  /** Extract a single doc. Returns None when the doc is dropped
-    * (unsupported language, or no title and no content).
+  /** Title/language gate + projection shared by the object path
+    * ([[extractOne]]) and the Tungsten byte path (ExtractSpansExpr):
+    * drop rule, language vote, and normalization are ONE code path.
     */
-  def extractOne(doc: Doc): Option[ExtractedDoc] = {
-    if (doc.spans == null || doc.spans.isEmpty) return None
-    val fused = fuse(doc.spans)
-    // fused tokenizer→emitter (== DOM-walk SpanEmitter, asserted by
-    // StreamEquivalenceSpec; the DOM path remains the executable spec)
-    val res = StreamEmitter.emitStreaming(fused.stream, fused.media)
+  def gate(res: graft.html.SpanEmitter.Result): Option[(String, String)] = {
     // No <h1> → no title → dropped, reference-faithful (src/parser.rs:136-146,
     // Q9: title defaults to "1", fails language detect, row dropped).
     if (res.title.isEmpty) return None
@@ -65,14 +61,27 @@ object Extract {
     if (lang != "en" && lang != "ru") return None
     val titleNorm = TitleKey.normTitle(res.title)
     if (titleNorm.isEmpty) return None
-    Some(ExtractedDoc(
-      doc_id = doc.doc_id,
-      lang = lang,
-      title_norm = titleNorm,
-      spans = res.spans,
-      n_text_spans = res.spans.count(_.kind == "text"),
-      n_media_spans = res.spans.count(s => s.kind == "image" || s.kind == "embed")
-    ))
+    Some((lang, titleNorm))
+  }
+
+  /** Extract a single doc. Returns None when the doc is dropped
+    * (unsupported language, or no title and no content).
+    */
+  def extractOne(doc: Doc): Option[ExtractedDoc] = {
+    if (doc.spans == null || doc.spans.isEmpty) return None
+    val fused = fuse(doc.spans)
+    // fused tokenizer→emitter (== DOM-walk SpanEmitter, asserted by
+    // StreamEquivalenceSpec; the DOM path remains the executable spec)
+    val res = StreamEmitter.emitStreaming(fused.stream, fused.media)
+    gate(res).map { case (lang, titleNorm) =>
+      ExtractedDoc(
+        doc_id = doc.doc_id,
+        lang = lang,
+        title_norm = titleNorm,
+        spans = res.spans,
+        n_text_spans = res.spans.count(_.kind == "text"),
+        n_media_spans = res.spans.count(s => s.kind == "image" || s.kind == "embed"))
+    }
   }
 
   /** The distributed transform. */

@@ -77,6 +77,17 @@ object StreamEmitter {
     m.finish()
   }
 
+  /** Byte-input twin of [[emitStreaming]]: same machine, fed by
+    * [[ByteScanner]] — the raw UTF-8 never becomes a String except for
+    * kept text runs and media-tag attribute values.
+    */
+  def emitStreamingBytes(html: Array[Byte], len: Int,
+                         mediaTable: Array[(String, String)]): SpanEmitter.Result = {
+    val m = new Machine(mediaTable)
+    ByteScanner.stream(html, len, m, AttrTags)
+    m.finish()
+  }
+
   private final class Machine(mediaTable: Array[(String, String)]) extends TokenSink {
     val out = new ArrayBuffer[Span](16)
     var lastH1 = ""

@@ -45,6 +45,11 @@ object Tokenizer {
     "figcaption", "blockquote", "noscript", "template", "main", "center",
     "graft-media", "src", "alt", "href", "class", "id", "rel", "type",
     "name", "content", "data-i", "summary", "dd", "dt", "hr", "br")
+  // shared with the byte twin (ByteScanner) — same canonical-name table
+  // and raw-text element set keep the two scanners event-identical
+  private[html] def canonByKeyShared: java.util.HashMap[Integer, Array[String]] = canonByKey
+  private[html] def rawTextShared: Set[String] = RawText
+
   private val canonByKey: java.util.HashMap[Integer, Array[String]] = {
     val m = new java.util.HashMap[Integer, Array[String]]()
     CanonNames.foreach { nm =>

@@ -1,0 +1,87 @@
+package graft
+
+import graft.extract.{Extract, ExtractSpansExpr}
+import graft.html.{StreamEmitter, Tokenizer}
+import graft.synth.Synth
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The Tungsten byte path (ByteScanner + ExtractSpansExpr) must be
+  * output-identical to the typed object path (Tokenizer + Extract.run) —
+  * the byte scanner is a hot-path twin, not a semantic fork.
+  */
+class ByteExtractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("byte scanner ≡ char scanner on the synth oracle corpus (2000 docs)") {
+    var checked = 0
+    (0 until 2000).foreach { i =>
+      val t = Synth.gen(42L, i, 300)
+      val fused = Extract.fuse(t.input)
+      val viaChars = StreamEmitter.emitStreaming(fused.stream, fused.media)
+      val bytes = fused.stream.getBytes(UTF_8)
+      val viaBytes = StreamEmitter.emitStreamingBytes(bytes, bytes.length, fused.media)
+      assert(viaChars.title == viaBytes.title, s"doc $i title")
+      assert(viaChars.spans.toSeq == viaBytes.spans.toSeq, s"doc $i spans")
+      checked += 1
+    }
+    assert(checked == 2000)
+  }
+
+  test("byte scanner ≡ char scanner on adversarial markup") {
+    val cases = Seq(
+      "", "<", "plain text only", "<p>unclosed", "</3 weird", "<!doctype html><p>x</p>",
+      "<!-- comment <p>inside</p> --><h1>t e s t title</h1><p>body text here now</p>",
+      "<?xml version=\"1.0\"?><h1>after the pi header</h1><p>and some body words</p>",
+      "<script>var a = \"<p>not text</p>\";</script><h1>raw text skipped ok</h1><p>kept body line</p>",
+      "<h1>quote aware attr</h1><p class=\"x>y\" id='a>b'>hello attr world</p>",
+      "<h1>entity handling &amp; more</h1><p>a &lt;tag&gt; &#1055;&#1088; &quot;q&quot; &unknown; &#x41;</p>",
+      "<h1>кириллица в заголовке</h1><p>текст на русском языке со словами</p>",
+      "<h1>mixed кирилица and ascii</h1><p>тело text mixed содержимое</p>",
+      "<h1>self closing<br/>tag</h1><p>one two three four five</p>",
+      "<H1>UPPER CASE TAGS</H1><P>MIXED case Body Words</P>",
+      "<h1>truncated tag at the very end</h1><p>body body body</p><img src=\"u",
+      "<textarea><p>not a block</p></textarea><h1>textarea raw title</h1><p>actual body words</p>",
+      "<h1>media in body</h1><p>before <img src=\"a.png\" alt=\"pic one\"> after words</p>",
+      "<h1>видео тест заголовок</h1><video src=\"v.mp4\"></video><p>после видео текст тут</p>")
+    cases.zipWithIndex.foreach { case (html, i) =>
+      val viaChars = StreamEmitter.emitStreaming(html, Array.empty)
+      val bytes = html.getBytes(UTF_8)
+      val viaBytes = StreamEmitter.emitStreamingBytes(bytes, bytes.length, Array.empty)
+      assert(viaChars.title == viaBytes.title, s"case $i title: '$html'")
+      assert(viaChars.spans.toSeq == viaBytes.spans.toSeq, s"case $i spans: '$html'")
+    }
+  }
+
+  test("ExtractSpansExpr.run ≡ Extract.run on a distributed synth corpus") {
+    import spark.implicits._
+    val n = 3000L
+    val typed = Extract.run(Synth.corpus(spark, 42L, n)).toDF()
+    val expr = ExtractSpansExpr.run(Synth.corpus(spark, 42L, n).toDF())
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"lang", $"title_norm", $"n_text_spans", $"n_media_spans",
+        $"spans".cast("string").as("spans_str"))
+      .as[(String, String, String, Int, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(expr) == key(typed))
+  }
+
+  test("expression plan over a table scan has no encoder boundary at all") {
+    val dir = java.nio.file.Files.createTempDirectory("bytextract").toString
+    Synth.corpus(spark, 42L, 200L).write.mode("overwrite").parquet(dir)
+    val plan = ExtractSpansExpr.run(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    // scan → project(extract_spans) → filter: no objects anywhere — the
+    // typed path's Deserialize/Serialize pair is what this expression buys out
+    assert(!plan.contains("DeserializeToObject"), plan.take(1500))
+    assert(!plan.contains("SerializeFromObject"), plan.take(1500))
+    assert(!plan.contains("MapPartitions"), plan.take(1500))
+    assert(plan.contains("extract_spans"), plan.take(1500))
+  }
+}
