@@ -59,6 +59,38 @@ class ByteExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("byte scanner ≡ char scanner under random markup fuzz (1000 samples)") {
+    // random soup from a pool heavy in structural chars, entities,
+    // Cyrillic, and tag fragments — neither scanner may throw and both
+    // must agree exactly
+    val pool = Array("<", ">", "\"", "'", "=", "/", "&", ";", "!", "-",
+      "p", "h1", "div", "img", "src", "amp", "#1055", "x41", " ", "\t", "\n",
+      "word", "слово", "é", "…", "<p>", "</p>", "<h1>", "</h1>", "<!--", "-->",
+      "<script>", "</script>", "&amp;", "&#x2014;", "&bogus;", "<img src=",
+      "data-i", "graft-media", "<a href=\"/x\">", "ы")
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 1000).foreach { s =>
+      val len = 1 + (mix(s.toLong) & 0x3f).toInt
+      val sb = new StringBuilder
+      var k = 0
+      while (k < len) {
+        sb.append(pool((mix(s.toLong * 131 + k) & 0x7fffffff).toInt % pool.length))
+        k += 1
+      }
+      val html = sb.toString
+      val viaChars = StreamEmitter.emitStreaming(html, Array.empty)
+      val bytes = html.getBytes(UTF_8)
+      val viaBytes = StreamEmitter.emitStreamingBytes(bytes, bytes.length, Array.empty)
+      assert(viaChars.title == viaBytes.title, s"fuzz $s title: '$html'")
+      assert(viaChars.spans.toSeq == viaBytes.spans.toSeq, s"fuzz $s spans: '$html'")
+    }
+  }
+
   test("ExtractSpansExpr.run ≡ Extract.run on a distributed synth corpus") {
     import spark.implicits._
     val n = 3000L
