@@ -139,6 +139,28 @@ class StreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  // the Tungsten byte path is a plain expression → works unchanged under
+  // Structured Streaming (no encoder, no stateful op)
+  test("streaming extraction via ExtractSpansExpr equals batch") {
+    val dir = Files.createTempDirectory("docs_stream_expr")
+    graft.synth.Synth.corpus(spark, 43L, 200L, partitions = 4)
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+    val q = graft.extract.ExtractSpansExpr.run(stream)
+      .selectExpr("doc_id", "lang", "title_norm", "size(spans) AS n_spans")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("extract_stream_expr").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("extract_stream_expr").collect().map(_.toString).sorted.toSeq
+    val batch = graft.extract.ExtractSpansExpr.run(spark.read.parquet(dir.toString))
+      .selectExpr("doc_id", "lang", "title_norm", "size(spans) AS n_spans")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
