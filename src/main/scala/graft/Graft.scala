@@ -55,6 +55,37 @@ final class Graft(val spark: SparkSession) {
   /** top: per-category buckets (+ "any"), top `limit` threads each. */
   def top(docs: Dataset[Doc], limit: Int = 10): DataFrame =
     Threads.top(Threads.threads(classify(docs)), limit)
+
+  // ---- table-native verbs (Tungsten byte path) -----------------------
+  // For input that is already a table (the 10^12-doc Iceberg-layout
+  // shape), extraction runs as ONE Catalyst expression over the scan —
+  // no encoder boundary (see ExtractSpansExpr; +24% measured at 2M
+  // docs). Verbs that consume extraction RELATIONALLY stay object-free
+  // end-to-end; news/categories need the entity classifier and go
+  // through the typed path.
+
+  /** languages over a (doc_id, spans) DataFrame — object-free plan. */
+  def languagesDf(docs: DataFrame): DataFrame =
+    graft.extract.ExtractSpansExpr.run(docs).select("lang", "doc_id")
+
+  /** threads over a (doc_id, spans) DataFrame: expression extraction →
+    * salted two-phase clustering, everything relational.
+    */
+  def threadsDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val extracted = graft.extract.ExtractSpansExpr.run(docs)
+    val phase1 = extracted
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(Threads.NSalt)))
+      .groupBy(col("title_norm"), col("salt"))
+      .agg(count(lit(1)).as("c"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, Threads.ArticleSampleK).as("sample"))
+    Threads.ranked(phase1
+      .groupBy(col("title_norm"))
+      .agg(sum(col("c")).as("size"),
+        slice(sort_array(flatten(collect_list(col("sample")))), 1,
+          Threads.ArticleSampleK).as("articles"))
+      .filter(col("size") >= 2))
+  }
 }
 
 object Graft {

@@ -28,4 +28,25 @@ class GraftFacadeSpec extends AnyFunSuite {
     // SQL functions registered by the facade
     assert(spark.sql("SELECT norm_title('A b!') AS x").head().getString(0) == "a b")
   }
+
+  test("table-native verbs equal the typed verbs and plan object-free") {
+    import spark.implicits._
+    val g = Graft(spark)
+    val dir = java.nio.file.Files.createTempDirectory("facade_tbl").toString
+    Synth.corpus(spark, 42L, 600L).write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val typedDocs = spark.read.parquet(dir).as[graft.model.Doc]
+
+    val viaDf = g.languagesDf(table).as[(String, String)].collect().sorted.toSeq
+    val viaDs = g.languages(typedDocs).as[(String, String)].collect().sorted.toSeq
+    assert(viaDf == viaDs)
+
+    def th(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("title_norm", "size", "cast(articles AS string) AS a")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(th(g.threadsDf(table)) == th(g.threads(typedDocs).drop("category")))
+
+    val plan = g.threadsDf(table).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"), plan.take(1200))
+  }
 }
