@@ -41,6 +41,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(extracted.size == truths.count(_.kept))
   }
 
+  test("persisted df-table round trip classifies identically (idf amortization)") {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
+    val extracted = Extract.run(Synth.corpus(spark, seed, n))
+    val dir = java.nio.file.Files.createTempDirectory("dftable").toString
+    Classify.dfTable(extracted, bc.value).write.mode("overwrite").parquet(dir)
+    val bcIdf = spark.sparkContext.broadcast(
+      Classify.idfFromTable(spark.read.parquet(dir)))
+    val viaTable = Classify.runWithIdf(extracted, bc, bcIdf)
+      .map(c => (c.doc_id, c.category, c.is_news, c.entities.keys.toSeq.sorted.mkString(",")))
+      .collect().sortBy(_._1).toSeq
+    val direct = Classify.run(extracted, bc)
+      .map(c => (c.doc_id, c.category, c.is_news, c.entities.keys.toSeq.sorted.mkString(",")))
+      .collect().sortBy(_._1).toSeq
+    assert(viaTable == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("threads: clusters match ground-truth title groups, size >= 2") {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(Classify.loadDicts())
