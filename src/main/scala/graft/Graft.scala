@@ -69,23 +69,13 @@ final class Graft(val spark: SparkSession) {
     graft.extract.ExtractSpansExpr.run(docs).select("lang", "doc_id")
 
   /** threads over a (doc_id, spans) DataFrame: expression extraction →
-    * salted two-phase clustering, everything relational.
+    * the same salted two-phase clustering as [[Threads.threads]] (shared
+    * helper — one code path for the clustering contract).
     */
-  def threadsDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val extracted = graft.extract.ExtractSpansExpr.run(docs)
-    val phase1 = extracted
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(Threads.NSalt)))
-      .groupBy(col("title_norm"), col("salt"))
-      .agg(count(lit(1)).as("c"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, Threads.ArticleSampleK).as("sample"))
-    Threads.ranked(phase1
-      .groupBy(col("title_norm"))
-      .agg(sum(col("c")).as("size"),
-        slice(sort_array(flatten(collect_list(col("sample")))), 1,
-          Threads.ArticleSampleK).as("articles"))
-      .filter(col("size") >= 2))
-  }
+  def threadsDf(docs: DataFrame): DataFrame =
+    Threads.ranked(Threads.saltedSizeSample(
+      graft.extract.ExtractSpansExpr.run(docs), "title_norm",
+      Threads.ArticleSampleK, Nil))
 }
 
 object Graft {

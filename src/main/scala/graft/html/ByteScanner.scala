@@ -10,12 +10,14 @@ package graft.html
   * and dropped boilerplate/scripts/tags are never decoded at all
   * (see [[graft.extract.ExtractSpansExpr]]).
   *
-  * Parity contract with the char scanner (asserted by
-  * ByteScannerEquivalenceSpec over the synth oracle corpus + ad-hoc
-  * HTML): identical events for any valid-UTF-8 input whose markup
-  * delimiters are ASCII. Known deliberate deviation: a non-ASCII Unicode
-  * whitespace INSIDE a tag (e.g. U+2028 between attributes — malformed
-  * HTML) separates attributes on the char path but not here.
+  * Parity contract with the char scanner (asserted by ByteExtractSpec
+  * over the synth oracle corpus, adversarial markup, and random fuzz):
+  * identical events for any valid UTF-8 input. Both scanners fold tag
+  * names ASCII-only (HTML5 §13.2.5 — a Unicode case-fold like U+017F ſ
+  * must not match `s` in a tag name). Known deliberate deviation: a
+  * non-ASCII Unicode whitespace INSIDE a tag (e.g. U+2028 between
+  * attributes — malformed HTML) separates attributes on the char path
+  * but not here.
   */
 object ByteScanner {
 
@@ -53,7 +55,12 @@ object ByteScanner {
         }
       }
     }
-    new String(bytes, from, len, java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+    // ASCII fold only (HTML5 tag names; matches the char scanner exactly)
+    val raw = new String(bytes, from, len, java.nio.charset.StandardCharsets.UTF_8)
+    val b = new java.lang.StringBuilder(raw.length)
+    var k = 0
+    while (k < raw.length) { b.append(Tokenizer.asciiLower(raw.charAt(k))); k += 1 }
+    b.toString
   }
 
   private def str(bytes: Array[Byte], from: Int, until: Int): String =

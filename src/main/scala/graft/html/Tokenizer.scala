@@ -60,25 +60,43 @@ object Tokenizer {
     m
   }
 
+  /** ASCII lower-case fold — HTML tag/attr names are ASCII-case-
+    * insensitive ONLY (HTML5 §13.2.5); Unicode folding (e.g. U+017F ſ →
+    * S, U+0131 ı) must NOT match tag names, and keeping the fold ASCII
+    * makes the char and byte scanners char-for-char identical.
+    */
+  @inline private[html] def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
   /** Lower-cased name for [from, until) — returns a canonical constant
     * without allocating when the name is a known tag/attr.
     */
   private def canonName(html: String, from: Int, until: Int): String = {
     val len = until - from
     if (len > 0 && len <= 11) {
-      val c0 = Character.toLowerCase(html.charAt(from))
+      val c0 = asciiLower(html.charAt(from))
       if (c0 < 128) {
         val cands = canonByKey.get(Integer.valueOf(len * 128 + c0))
         if (cands != null) {
           var ci = 0
           while (ci < cands.length) {
-            if (html.regionMatches(true, from, cands(ci), 0, len)) return cands(ci)
+            val cand = cands(ci)
+            var k = 0
+            var ok = true
+            while (ok && k < len) {
+              if (asciiLower(html.charAt(from + k)) != cand.charAt(k)) ok = false
+              k += 1
+            }
+            if (ok) return cand
             ci += 1
           }
         }
       }
     }
-    html.substring(from, until).toLowerCase
+    val b = new java.lang.StringBuilder(len)
+    var k = from
+    while (k < until) { b.append(asciiLower(html.charAt(k))); k += 1 }
+    b.toString
   }
 
   /** Buffering form (spec path / tests): collects [[stream]]'s events. */
@@ -242,11 +260,20 @@ object Tokenizer {
     flushText()
   }
 
+  /** ASCII-case-insensitive search (needle is lowercase ASCII) — Unicode
+    * case folds must not close raw-text elements (see [[asciiLower]]).
+    */
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
     val n = hay.length; val m = needle.length
     var i = math.max(from, 0)
     while (i + m <= n) {
-      if (hay.regionMatches(true, i, needle, 0, m)) return i
+      var k = 0
+      var ok = true
+      while (ok && k < m) {
+        if (asciiLower(hay.charAt(i + k)) != needle.charAt(k)) ok = false
+        k += 1
+      }
+      if (ok) return i
       i += 1
     }
     -1

@@ -210,11 +210,19 @@ object Similarity {
     * per-partition (sum, count) accumulation are FUSED in a single
     * mapPartitions (each task emits ≤ nCentroids rows, with the member
     * count appended as the last array slot), then a posexplode +
-    * groupBy(cid, pos) partial/final hash aggregation combines them.
-    * Shuffle volume is O(partitions · nCentroids · dim), independent of
-    * corpus size — no reducer ever streams raw embeddings (the round-1
+    * groupBy(cid, pos) partial/final aggregation combines them. Shuffle
+    * volume is O(partitions · nCentroids · dim), independent of corpus
+    * size — no reducer ever streams raw embeddings (the round-1
     * groupByKey.mapGroups shipped 1/nCentroids of the corpus to a single
     * task, which dies at 10^12 rows).
+    *
+    * The final combine folds partials in CANONICAL partition order
+    * (array_sort by partition id, then a deterministic fold) instead of
+    * a plain sum(): floating-point sums merged in shuffle-fetch arrival
+    * order are not bitwise reproducible across runs, and Verify's
+    * external IVF oracle relies on two trainings over the same corpus
+    * being identical. Per-group state is ≤ numPartitions (pid, v) pairs
+    * — the same O(parts · k · dim) total as the shuffle itself.
     */
   private[graft] def centroidUpdateDF(spark: SparkSession,
                                     vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
@@ -222,6 +230,7 @@ object Similarity {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     vecs.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       val cs = bc.value
       val sums = new Array[Array[Double]](cs.length)
       it.foreach { case (_, emb) =>
@@ -240,12 +249,15 @@ object Similarity {
         acc(acc.length - 1) += 1 // member count rides in the last slot
       }
       Iterator.range(0, cs.length).filter(sums(_) != null)
-        .map(c => (c, sums(c)))
+        .map(c => (c, pid, sums(c)))
     }
-      .toDF("cid", "sums")
-      .select(col("cid"), posexplode(col("sums")).as(Seq("pos", "v")))
+      .toDF("cid", "pid", "sums")
+      .select(col("cid"), col("pid"), posexplode(col("sums")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
-      .agg(sum(col("v")).as("s"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pid"), col("v")))),
+        lit(0.0d),
+        (acc, x) => acc + x.getField("v")).as("s"))
   }
 
   /** IVF (inverted-file) ANN: coarse k-means centroids partition the

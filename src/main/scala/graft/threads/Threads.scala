@@ -25,29 +25,42 @@ object Threads {
   val ArticleSampleK = 10 // mirrors the reference's 10-doc thread cap (glossary.rs:404, Q6)
   val NSalt = 16
 
-  /** classified docs → threads: (title_norm, category, size, articles).
+  /** The ONE salted two-phase size/sample aggregation every clustering
+    * variant shares (exact-title, simhash-band, fuzzy-component, and the
+    * table-native facade verb): phase 1 groups by (key, salt) so no task
+    * sees a whole hot key; phase 2 merges ≤ NSalt bounded partials.
+    * `extraMins` carries the variant's min() columns (category and/or
+    * representative title). Rows need (doc_id, `keyCol`, extraMins...).
+    */
+  private[graft] def saltedSizeSample(df: DataFrame, keyCol: String, k: Int,
+                                      extraMins: Seq[String]): DataFrame = {
+    val p1 = Seq(
+      count(lit(1)).as("c"),
+      slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample")) ++
+      extraMins.map(c => min(col(c)).as(c))
+    val phase1 = df
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
+      .groupBy(col(keyCol), col("salt"))
+      .agg(p1.head, p1.tail: _*)
+    val p2 = Seq(
+      sum(col("c")).as("size"),
+      slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles")) ++
+      extraMins.map(c => min(col(c)).as(c))
+    phase1
+      .groupBy(col(keyCol))
+      .agg(p2.head, p2.tail: _*)
+      .filter(col("size") >= 2)
+  }
+
+  /** classified docs → threads: (title_norm, size, articles, category).
     * Keeps clusters with ≥ 2 members (reference: glossary.rs:234-236).
     * Thread category is `min(category)` across members (deviation D7):
     * the reference's `ncategories` memo is last-writer-wins over BTreeMap
     * iteration order (glossary.rs:248-253) — nondeterministic and not
     * map-side combinable; min is both.
     */
-  def threads(classified: Dataset[ClassifiedDoc], k: Int = ArticleSampleK): DataFrame = {
-    val phase1 = classified.toDF()
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
-      .groupBy(col("title_norm"), col("salt"))
-      .agg(
-        count(lit(1)).as("c"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample"),
-        min(col("category")).as("category"))
-    phase1
-      .groupBy(col("title_norm"))
-      .agg(
-        sum(col("c")).as("size"),
-        slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles"),
-        min(col("category")).as("category"))
-      .filter(col("size") >= 2)
-  }
+  def threads(classified: Dataset[ClassifiedDoc], k: Int = ArticleSampleK): DataFrame =
+    saltedSizeSample(classified.toDF(), "title_norm", k, Seq("category"))
 
   /** Near-duplicate-title clustering: key = top-`bandBits` of
     * simhash64(title tokens) — word-order-invariant (a token multiset
@@ -75,26 +88,10 @@ object Threads {
       col("doc_id"), col("title_norm"), col("category"))
 
   def threadsNear(classified: Dataset[ClassifiedDoc], bandBits: Int = 48,
-                  k: Int = ArticleSampleK): DataFrame = {
-    val keyed = nearKeyed(classified.toDF(), bandBits)
-    val phase1 = keyed
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
-      .groupBy(col("cluster_key"), col("salt"))
-      .agg(
-        count(lit(1)).as("c"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample"),
-        min(col("title_norm")).as("title_norm"),
-        min(col("category")).as("category"))
-    phase1
-      .groupBy(col("cluster_key"))
-      .agg(
-        sum(col("c")).as("size"),
-        slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles"),
-        min(col("title_norm")).as("title_norm"),
-        min(col("category")).as("category"))
-      .filter(col("size") >= 2)
+                  k: Int = ArticleSampleK): DataFrame =
+    saltedSizeSample(nearKeyed(classified.toDF(), bandBits), "cluster_key", k,
+      Seq("title_norm", "category"))
       .drop("cluster_key")
-  }
 
   /** Fuzzy thread clustering — the token-Jaccard re-expression of the
     * reference's self-occurrence retrieval (SURVEY.md §7.4: tantivy
@@ -149,20 +146,7 @@ object Threads {
         coalesce(col("component"), col("tid")).as("component"))
     val keyed = classified.toDF()
       .join(titleComp, "title_norm")
-    val phase1 = keyed
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))
-      .groupBy(col("component"), col("salt"))
-      .agg(count(lit(1)).as("c"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample"),
-        min(col("title_norm")).as("title_norm"),
-        min(col("category")).as("category"))
-    phase1
-      .groupBy(col("component"))
-      .agg(sum(col("c")).as("size"),
-        slice(sort_array(flatten(collect_list(col("sample")))), 1, k).as("articles"),
-        min(col("title_norm")).as("title_norm"),
-        min(col("category")).as("category"))
-      .filter(col("size") >= 2)
+    saltedSizeSample(keyed, "component", k, Seq("title_norm", "category"))
       .drop("component")
   }
 

@@ -49,7 +49,13 @@ class ByteExtractSpec extends AnyFunSuite {
       "<h1>truncated tag at the very end</h1><p>body body body</p><img src=\"u",
       "<textarea><p>not a block</p></textarea><h1>textarea raw title</h1><p>actual body words</p>",
       "<h1>media in body</h1><p>before <img src=\"a.png\" alt=\"pic one\"> after words</p>",
-      "<h1>видео тест заголовок</h1><video src=\"v.mp4\"></video><p>после видео текст тут</p>")
+      "<h1>видео тест заголовок</h1><video src=\"v.mp4\"></video><p>после видео текст тут</p>",
+      // Unicode case folds must NOT match ASCII tag names (HTML5: tag
+      // names are ASCII-case-insensitive only) — U+017F ſ and U+0131 ı
+      // uppercase/fold to S/I and once made the scanners diverge
+      "<script>var x=1;</ſcript>leak<p>after words here</p></script><h1>fold title one</h1><p>body line</p>",
+      "<h1>fold title two</h1><script>x</scrıpt>tail</script><p>kept body words</p>",
+      "<ſcript>not a script tag</ſcript><h1>fold title three</h1><p>more body words</p>")
     cases.zipWithIndex.foreach { case (html, i) =>
       val viaChars = StreamEmitter.emitStreaming(html, Array.empty)
       val bytes = html.getBytes(UTF_8)
@@ -67,7 +73,7 @@ class ByteExtractSpec extends AnyFunSuite {
       "p", "h1", "div", "img", "src", "amp", "#1055", "x41", " ", "\t", "\n",
       "word", "слово", "é", "…", "<p>", "</p>", "<h1>", "</h1>", "<!--", "-->",
       "<script>", "</script>", "&amp;", "&#x2014;", "&bogus;", "<img src=",
-      "data-i", "graft-media", "<a href=\"/x\">", "ы")
+      "data-i", "graft-media", "<a href=\"/x\">", "ы", "ſ", "ı", "</ſcript>", "İ")
     def mix(x: Long): Long = {
       var z = x + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -74,10 +74,12 @@ class PlanSpec extends AnyFunSuite {
     val centroids = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
     val plan = graft.ops.Similarity.centroidUpdateDF(spark, vecs, centroids)
       .queryExecution.executedPlan.toString
-    // the shuffle carries pre-combined (cid, pos) partial sums, never raw
+    // the shuffle carries pre-combined (cid, pos, pid) partials, never raw
     // embeddings (the round-1 groupByKey.mapGroups shipped 1/nCentroids of
-    // the corpus to one reducer task)
-    assert(plan.contains("partial_sum"), plan.take(2000))
+    // the corpus to one reducer task); the final fold is partial-combined
+    // collect_list of ≤ numPartitions (pid, v) pairs per group
+    assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"),
+      plan.take(2000))
     assert(!plan.contains("MapGroups"), plan.take(2000))
   }
 }
