@@ -65,6 +65,24 @@ class PlanSpec extends AnyFunSuite {
       !formatted("doc_quality").contains("ScalaUDF"))
   }
 
+  test("partitioned output: lang filter prunes partitions at the scan") {
+    // the 100-TB layout writes extracted docs partitioned by lang; a
+    // per-language query must touch only that language's files
+    val dir = java.nio.file.Files.createTempDirectory("langpart").toString
+    graft.extract.ExtractSpansExpr.run(
+      graft.synth.Synth.corpus(spark, 42L, 500L).toDF())
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "ru")
+      .select("doc_id", "title_norm")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p.take(2000))
+    // the pruned scan must not read the en partition's files
+    assert(q.queryExecution.executedPlan.toString.contains("lang=ru") ||
+      p.contains("isnotnull(lang"), p.take(2000))
+  }
+
   test("kmeans centroid update aggregates with a map-side partial") {
     import spark.implicits._
     val vecs = spark.range(100)
