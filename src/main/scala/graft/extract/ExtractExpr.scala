@@ -46,8 +46,8 @@ case class ExtractSpansExpr(child: Expression)
     val order = new Array[Long](n) // offset << 32 | idx keeps the sort primitive
     var i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 4)
-      order(i) = (row.getInt(3).toLong << 32) | i.toLong
+      val row = arr.getStruct(i, 4) // null element → sort to front, skipped below
+      order(i) = (if (row == null) Long.MinValue else row.getInt(3).toLong << 32) | i.toLong
       i += 1
     }
     java.util.Arrays.sort(order)
@@ -59,9 +59,11 @@ case class ExtractSpansExpr(child: Expression)
     i = 0
     while (i < n) {
       val row = arr.getStruct(order(i).toInt, 4)
-      val kind = if (row.isNullAt(0)) null else row.getUTF8String(0)
-      if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) total += 33
-      else if (!row.isNullAt(1)) total += row.getUTF8String(1).numBytes()
+      if (row != null) {
+        val kind = if (row.isNullAt(0)) null else row.getUTF8String(0)
+        if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) total += 33
+        else if (!row.isNullAt(1)) total += row.getUTF8String(1).numBytes()
+      }
       i += 1
     }
     val buf = new Array[Byte](total)
@@ -70,8 +72,9 @@ case class ExtractSpansExpr(child: Expression)
     i = 0
     while (i < n) {
       val row = arr.getStruct(order(i).toInt, 4)
-      val kind = if (row.isNullAt(0)) null else row.getUTF8String(0)
-      if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) {
+      val kind = if (row == null || row.isNullAt(0)) null else row.getUTF8String(0)
+      if (row == null) { /* skip null span element */ }
+      else if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) {
         val ph = "<graft-media data-i=\"" + media.length + "\">"
         var k = 0
         while (k < ph.length) { buf(at) = ph.charAt(k).toByte; at += 1; k += 1 }

@@ -110,6 +110,27 @@ class ByteExtractSpec extends AnyFunSuite {
     assert(key(expr) == key(typed))
   }
 
+  test("expression survives null spans columns and null span elements") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spanT = graft.extract.ExtractSpansExpr.SpanType
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("spans", ArrayType(spanT, containsNull = true), nullable = true)))
+    val html = "<h1>null element doc title</h1><p>body words for the doc</p>"
+    val rows = Seq(
+      Row("d-null-col", null),
+      Row("d-empty", Seq.empty[Row]),
+      Row("d-null-elem", Seq(null, Row("html", html, "", 0))),
+      Row("d-null-fields", Seq(Row(null, null, null, 0), Row("html", html, "", 1))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = graft.extract.ExtractSpansExpr.run(df)
+      .select("doc_id", "lang").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // null column/empty → dropped; null elements/fields skipped, doc kept
+    assert(out.toSeq == Seq(("d-null-elem", "en"), ("d-null-fields", "en")))
+  }
+
   test("expression plan over a table scan has no encoder boundary at all") {
     val dir = java.nio.file.Files.createTempDirectory("bytextract").toString
     Synth.corpus(spark, 42L, 200L).write.mode("overwrite").parquet(dir)
