@@ -171,8 +171,10 @@ class SimilaritySpec extends AnyFunSuite {
     val rSingle = curve.last._2
     val rMulti = recall(hits(Similarity.lshMultiProbeTopK(spark, emb01, qs, k = 5, nBits = 8)))
     val rIvf = recall(hits(Similarity.ivfTopK(spark, emb01, qs, k = 5)))
+    val rIvf4 = recall(hits(Similarity.ivfTopK(spark, emb01, qs, k = 5, nProbe = 4)))
     info(curve.map { case (b, r) => f"single@${b}bits=$r%.3f" }.mkString(" ") +
-      f" multi@8bits=$rMulti%.3f ivf(nProbe=2/16)=$rIvf%.3f")
+      f" multi@8bits=$rMulti%.3f ivf(nProbe=2/16)=$rIvf%.3f ivf(nProbe=4/16)=$rIvf4%.3f")
+    assert(rIvf4 >= rIvf, "more probes cannot lower recall")
     // measured r2 (documented in BENCH/BASELINE.md): single@8=0.224,
     // multi@8=0.304, ivf=0.516 — synthetic embeddings are near-uniform,
     // the hardest case for LSH; the ordinal facts are the contract
