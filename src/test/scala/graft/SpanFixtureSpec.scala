@@ -41,6 +41,31 @@ class SpanFixtureSpec extends AnyFunSuite {
     assert(kept > n / 2, s"too few kept docs: $kept") // ~75% en+ru
   }
 
+  test("byte path matches generator ground truth on all seeded docs") {
+    // same 5000-doc span ORACLE through the byte scanner: fuse → bytes →
+    // ByteScanner → machine → gate, mirroring ExtractSpansExpr.eval
+    var checked = 0
+    (0 until n).foreach { i =>
+      val t = Synth.gen(seed, i.toLong, nStories)
+      val fused = graft.extract.Extract.fuse(t.input)
+      val bytes = fused.stream.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val res = graft.html.StreamEmitter.emitStreamingBytes(bytes, bytes.length, fused.media)
+      val gated = graft.extract.Extract.gate(res)
+      if (t.kept) {
+        assert(gated.isDefined, s"${t.doc_id}: byte path dropped a kept doc")
+        val (lang, titleNorm) = gated.get
+        assert(lang == t.lang && titleNorm == t.title_norm, t.doc_id)
+        val gs = res.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq
+        val es = t.expected.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq
+        assert(gs == es, s"${t.doc_id}: byte-path span mismatch")
+      } else {
+        assert(gated.isEmpty, s"${t.doc_id}: byte path kept a dropped doc")
+      }
+      checked += 1
+    }
+    assert(checked == n)
+  }
+
   test("offsets are 0-based consecutive emission order") {
     (0 until 200).foreach { i =>
       val t = Synth.gen(seed, i.toLong, nStories)
