@@ -156,13 +156,30 @@ object Synth {
     b.toString
   }
 
+  /** Multi-token glossary terms for story titles: a hot story's term
+    * tokens have df ≈ thread size (20-30), idf ≈ 5-6 each — a SINGLE
+    * token never clears the 8-gate at these corpus sizes, but a 2+-token
+    * term sums past it, exactly how the reference's hot stories carry
+    * categories ("boston bruins …" scores 2 × idf).
+    */
+  lazy val plantPoolMulti: Array[String] = plantPool.filter(_.contains(' '))
+
   /** Deterministic shared story title for (story group, lang). */
   def storyTitle(seed: Long, group: Int, lang: String): String = {
     val rng = new Rng(fnv64(s"$seed:story:$group:$lang"))
-    if (lang == "ru")
-      s"${rng.pick(ruEntity)} ${rng.pick(ruStop)} ${rng.pick(ruWord)} ${rng.pick(ruWord)}"
-    else
-      s"${rng.pick(enEntity)} ${rng.pick(enStop)} ${rng.pick(enWord)} ${rng.pick(enWord)}"
+    if (lang == "ru") {
+      // two rare ru bert tokens sum past the gate → ru stories carry
+      // entity flags (→ society et al.), mirroring the en multi-token path
+      if (rng.chance(40))
+        s"${rng.pick(plantPoolRu)} ${rng.pick(plantPoolRu)} ${rng.pick(ruWord)}"
+      else
+        s"${rng.pick(ruEntity)} ${rng.pick(ruStop)} ${rng.pick(ruWord)} ${rng.pick(ruWord)}"
+    } else {
+      if (rng.chance(40))
+        s"${rng.pick(plantPoolMulti)} ${rng.pick(enStop)} ${rng.pick(enWord)}"
+      else
+        s"${rng.pick(enEntity)} ${rng.pick(enStop)} ${rng.pick(enWord)} ${rng.pick(enWord)}"
+    }
   }
 
   /** Generate one doc + its ground truth. Pure in (seed, idx). */
