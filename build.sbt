@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes straight to this process's stdout WITHOUT
+// sbt's "[info] " log prefix — graft.Bench prints ONE machine-readable
+// JSON line that the driver parses from the stdout tail (round-2 gap:
+// the prefixed line made the driver record "parsed": null). bench_out.json
+// is the redundant file channel.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

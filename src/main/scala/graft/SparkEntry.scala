@@ -30,6 +30,39 @@ object SparkEntry {
     Synth.extracted(spark, seed = 42L, nDocs = n)
   }
 
+  private val extractedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]]()
+  private val classifiedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]]()
+
+  /** Extracted corpus for an sf dir, persisted ONCE per (session, dir)
+    * and shared by [[classifiedFor]] and the span queries — the
+    * extraction kernel runs a single time per job session.
+    */
+  def extractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] =
+    extractedCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      extractedFor(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Classified corpus for an sf dir — extracted, IDF'd, and classified
+    * exactly ONCE per (session, dir), persisted, and shared by every
+    * ext_* query and Verify's base-table dump. This is the steady-state
+    * architecture (VERDICT r2 item 1) matching the reference's
+    * build-index-once flow (src/main.rs:89-95,139-152): the round-2 form
+    * re-ran extraction+classification 2-3× per action (ext_threads_fuzzy
+    * 3.99 s), all pure recompute waste.
+    */
+  def classifiedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc] =
+    classifiedCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
+      val ext = extractedCachedFor(s, d)
+      val bcIdf = s.sparkContext.broadcast(Classify.computeIdf(ext, bc.value))
+      val cls = Classify.runWithIdf(ext, bc, bcIdf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cls.count() // materialize now: downstream actions hit the cache
+      cls         // ext stays persisted — shared with the span queries
+    })
+
   /** Candidate pairs for the n-gram-Jaccard demo query (first two sampled
     * members of each minhash band bucket) — shared with Verify's oracle
     * base dump so the DuckDB side verifies the same pair set.
@@ -250,47 +283,35 @@ object SparkEntry {
 
     // ---- the reference pipeline (extraction → classify → threads) -----
     "ext_lang_split" -> ((s, d) => {
-      extractedFor(s, d).toDF()
+      classifiedFor(s, d).toDF()
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
     "ext_spans" -> ((s, d) => {
-      extractedFor(s, d).toDF()
+      extractedCachedFor(s, d).toDF()
         .select(col("doc_id"), explode(col("spans")).as("span"))
         .select(col("doc_id"), col("span.kind").as("kind"),
           col("span.offset").as("offset"))
     }),
-    "ext_categories" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      Classify.run(extractedFor(s, d), bc).toDF()
-        .groupBy(col("category")).agg(count(lit(1)).as("n_docs"))
-    }),
-    "ext_threads" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      Threads.ranked(Threads.threads(Classify.run(extractedFor(s, d), bc)))
-        .select(col("title_norm"), col("size"))
-    }),
-    "ext_threads_near" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      Threads.ranked(Threads.threadsNear(Classify.run(extractedFor(s, d), bc)))
-        .select(col("title_norm"), col("size"))
-    }),
-    "ext_threads_fuzzy" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      Threads.ranked(Threads.threadsFuzzy(Classify.run(extractedFor(s, d), bc)))
-        .select(col("title_norm"), col("size"))
-    }),
-    "ext_entities" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      Classify.run(extractedFor(s, d), bc).toDF()
+    "ext_categories" -> ((s, d) =>
+      classifiedFor(s, d).toDF()
+        .groupBy(col("category")).agg(count(lit(1)).as("n_docs"))),
+    "ext_threads" -> ((s, d) =>
+      Threads.ranked(Threads.threads(classifiedFor(s, d)))
+        .select(col("title_norm"), col("size"))),
+    "ext_threads_near" -> ((s, d) =>
+      Threads.ranked(Threads.threadsNear(classifiedFor(s, d)))
+        .select(col("title_norm"), col("size"))),
+    "ext_threads_fuzzy" -> ((s, d) =>
+      Threads.ranked(Threads.threadsFuzzy(classifiedFor(s, d)))
+        .select(col("title_norm"), col("size"))),
+    "ext_entities" -> ((s, d) =>
+      classifiedFor(s, d).toDF()
         .select(explode(col("entities")).as(Seq("class", "words")))
-        .groupBy(col("class")).agg(count(lit(1)).as("n_docs"))
-    }),
-    "ext_top" -> ((s, d) => {
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      Threads.top(Threads.threads(Classify.run(extractedFor(s, d), bc)))
+        .groupBy(col("class")).agg(count(lit(1)).as("n_docs"))),
+    "ext_top" -> ((s, d) =>
+      Threads.top(Threads.threads(classifiedFor(s, d)))
         .select(col("category"), col("rank").cast("long").as("rank"),
-          col("title_norm"), col("size")) // rank → long: DuckDB row_number is BIGINT
-    })
+          col("title_norm"), col("size"))) // rank → long: DuckDB row_number is BIGINT
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -26,11 +26,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    // base tables for the ext_* oracles (written before the queries run)
-    val ext = SparkEntry.extractedFor(spark, sfDir)
-    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.defaultDicts)
-    val classified = graft.gloss.Classify.run(ext, bc).toDF()
-      .localCheckpoint(true) // one classify pass feeds both base tables
+    // base tables for the ext_* oracles (written before the queries run).
+    // extractedCachedFor/classifiedFor are the steady-state persisted
+    // datasets the ext_* queries below reuse — ONE extract+classify pass
+    // feeds the base tables AND every query (VERDICT r2 item 1).
+    val ext = SparkEntry.extractedCachedFor(spark, sfDir)
+    val classified = SparkEntry.classifiedFor(spark, sfDir).toDF()
     classified
       .select(col("doc_id"), col("lang"), col("title_norm"),
         col("category"), col("is_news"))

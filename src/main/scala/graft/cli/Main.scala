@@ -73,6 +73,40 @@ object Main {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Steady-state classification for the classify-consuming verbs: the
+    * corpus is extracted ONCE (persisted); with --out the token-DF table
+    * is written to `$out/_idf` on the first run and read back by every
+    * later run (resume included) — the reference's build-index-once flow
+    * (src/main.rs:89-95): steady-state classification is a single corpus
+    * scan, no per-job IDF recompute. Returns the persisted classified
+    * Dataset plus the broadcasts the checkpoint slices classify with
+    * (slices MUST reuse the global IDF — a per-slice DF table would score
+    * differently than the full corpus).
+    */
+  private def classifySteadyState(spark: SparkSession, docs: Dataset[Doc],
+      opts: Map[String, String]): (Dataset[graft.model.ClassifiedDoc],
+      org.apache.spark.broadcast.Broadcast[Classify.Dicts],
+      org.apache.spark.broadcast.Broadcast[graft.gloss.TokenIdf]) = {
+    import org.apache.spark.storage.StorageLevel
+    val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
+    val extracted = Extract.run(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val idf = opts.get("out") match {
+      case Some(out) =>
+        val idfDir = s"$out/_idf"
+        if (!new java.io.File(idfDir, "_SUCCESS").exists)
+          Classify.dfTable(extracted, bc.value)
+            .coalesce(1).write.mode("overwrite").parquet(idfDir)
+        Classify.idfFromTable(spark.read.parquet(idfDir))
+      case None => Classify.computeIdf(extracted, bc.value)
+    }
+    val bcIdf = spark.sparkContext.broadcast(idf)
+    val classified = Classify.runWithIdf(extracted, bc, bcIdf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    classified.count() // materialize, then free the extraction cache
+    extracted.unpersist()
+    (classified, bc, bcIdf)
+  }
+
   def run(spark: SparkSession, verb: String, opts: Map[String, String]): Unit = {
     import spark.implicits._
     val docs = inputDocs(spark, opts)
@@ -106,10 +140,10 @@ object Main {
         println(frames.mkString("[\n", ",\n", "\n]"))
 
       case "news" | "categories" =>
-        val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
-        val classified = Classify.run(Extract.run(docs), bc)
+        val (classified, bc, bcIdf) = classifySteadyState(spark, docs, opts)
+        // resume slices classify with the SAME persisted global IDF
         writeOut(docs.toDF(), "doc_id", df =>
-          Classify.run(Extract.run(df.as[Doc]), bc).toDF()
+          Classify.runWithIdf(Extract.run(df.as[Doc]), bc, bcIdf).toDF()
             .select(col("doc_id"), col("lang"), col("title_norm"),
               col("category"), col("is_news")))
         if (verb == "news") {
@@ -126,14 +160,14 @@ object Main {
           }
           println(frames.mkString("[\n", ",\n", "\n]"))
         }
+        classified.unpersist()
 
       case "debug" =>
         // counters + stage timings (reference: src/main.rs:159-187)
         val t0 = System.nanoTime()
         val nInput = docs.count()
         val t1 = System.nanoTime()
-        val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
-        val classified = Classify.run(Extract.run(docs), bc).cache()
+        val (classified, _, _) = classifySteadyState(spark, docs, opts)
         val nKept = classified.count()
         val t2 = System.nanoTime()
         val byLang = classified.groupByKey(_.lang).count().collect().toMap
@@ -151,10 +185,9 @@ object Main {
         classified.unpersist()
 
       case "threads" | "top" =>
-        val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
         // two-stage at scale: persist classified once, then cluster; commit
         // units slice by title hash, so clusters never cross units
-        val classified = Classify.run(Extract.run(docs), bc).cache()
+        val (classified, _, _) = classifySteadyState(spark, docs, opts)
         // --fuzzy true → token-Jaccard near-title clustering (threadsFuzzy)
         val th =
           if (opts.get("fuzzy").contains("true")) Threads.threadsFuzzy(classified)
@@ -184,6 +217,7 @@ object Main {
           }
           println(frames.mkString("[\n", ",\n", "\n]"))
         }
+        classified.unpersist()
     }
   }
 }

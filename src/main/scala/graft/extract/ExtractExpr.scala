@@ -42,12 +42,18 @@ case class ExtractSpansExpr(child: Expression)
     val n = arr.numElements()
     if (n == 0) return null
 
-    // collect (offset, idx) and sort — docs have few input spans
+    // collect (offset, idx) and sort — docs have few input spans.
+    // Null TOLERANCE: a null span element OR a null offset field is
+    // skipped entirely (getInt on a null slot would silently read 0 and
+    // reorder the span to the front — the typed path can't encode such a
+    // row at all, so "skip" is the one semantics both sides can share;
+    // pinned by ByteExtractSpec's null-offset case).
     val order = new Array[Long](n) // offset << 32 | idx keeps the sort primitive
     var i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 4) // null element → sort to front, skipped below
-      order(i) = (if (row == null) Long.MinValue else row.getInt(3).toLong << 32) | i.toLong
+      val row = arr.getStruct(i, 4) // skipped rows sort to the front
+      val skip = row == null || row.isNullAt(3)
+      order(i) = (if (skip) Long.MinValue else row.getInt(3).toLong << 32) | i.toLong
       i += 1
     }
     java.util.Arrays.sort(order)
@@ -59,7 +65,7 @@ case class ExtractSpansExpr(child: Expression)
     i = 0
     while (i < n) {
       val row = arr.getStruct(order(i).toInt, 4)
-      if (row != null) {
+      if (row != null && !row.isNullAt(3)) {
         val kind = if (row.isNullAt(0)) null else row.getUTF8String(0)
         if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) total += 33
         else if (!row.isNullAt(1)) total += row.getUTF8String(1).numBytes()
@@ -73,7 +79,7 @@ case class ExtractSpansExpr(child: Expression)
     while (i < n) {
       val row = arr.getStruct(order(i).toInt, 4)
       val kind = if (row == null || row.isNullAt(0)) null else row.getUTF8String(0)
-      if (row == null) { /* skip null span element */ }
+      if (row == null || row.isNullAt(3)) { /* skip null span element / null offset */ }
       else if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) {
         val ph = "<graft-media data-i=\"" + media.length + "\">"
         var k = 0

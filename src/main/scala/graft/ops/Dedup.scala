@@ -33,7 +33,7 @@ object Dedup {
     // plan grows exponentially with iterations (explain/codegen OOM)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.tablefmt.LineageCut.cut)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -46,7 +46,7 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.tablefmt.LineageCut.cut)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next
@@ -76,7 +76,7 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.tablefmt.LineageCut.cut)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -99,7 +99,7 @@ object Dedup {
         .union(sWithMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.tablefmt.LineageCut.cut)
       val changed = small.exceptAll(canon)
         .union(canon.exceptAll(small)).limit(1).count() // one action per round
       canon = small
@@ -127,7 +127,7 @@ object Dedup {
     val canon = pairs.toDF("a", "b")
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.tablefmt.LineageCut.cut)
     if (canon.count() > driverThreshold) return connectedComponentsStar(canon)
     val edges = canon.as[(Long, Long)].collect()
     // path-compressing union-find, min-id as root

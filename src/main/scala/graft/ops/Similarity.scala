@@ -105,15 +105,26 @@ object Similarity {
       (s +: (0 until nBits).map(b => s ^ (1 << b))).toArray
     }
     val qs = queries.select(col("q_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", explode(probesUdf(col("q_emb"))))
+    val qProbes = qs.withColumn("bucket", explode(probesUdf(col("q_emb"))))
+      .select(col("q_id"), col("bucket"))
     val cs = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    cs.join(broadcast(qs), "bucket")
-      .groupBy(col("q_id"), col("vec_id")) // same candidate via ≥2 probes → once
-      .agg(first(col("q_emb")).as("q_emb"), first(col("embedding")).as("embedding"))
+    // dedup candidates on IDS ONLY (a candidate reached via ≥2 probes
+    // appears once) — the distinct exchange carries two longs, not
+    // embedding arrays (round 2 shuffled O(cand·dim) here); embeddings
+    // re-attach afterward: queries from the broadcast side, corpus rows
+    // via a join the candidate side of which is orders of magnitude
+    // smaller than the corpus (AQE broadcasts it)
+    val cand = cs.select(col("vec_id"), col("bucket"))
+      .join(broadcast(qProbes), "bucket")
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qs), "q_id")
       .withColumn("sim", cosineExprSafe(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

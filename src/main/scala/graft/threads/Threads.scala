@@ -118,7 +118,7 @@ object Threads {
   def fuzzyTitles(classified: DataFrame): DataFrame =
     classified.select(col("title_norm")).distinct()
       .withColumn("tid", xxhash64(col("title_norm")))
-      .localCheckpoint(true)
+      .transform(graft.tablefmt.LineageCut.cut)
 
   /** Verified fuzzy-duplicate title pairs (a, b) over [[fuzzyTitles]]:
     * minhash anchor-star candidates → exact token-Jaccard filter.

@@ -143,4 +143,72 @@ class ByteExtractSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions"), plan.take(1500))
     assert(plan.contains("extract_spans"), plan.take(1500))
   }
+
+  test("expression skips span rows with a NULL offset (typed path can't encode them)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // offset declared nullable — the typed Dataset path would FAIL to
+    // encode such a row (Int field), so "skip like a null element" is the
+    // one semantics both paths can share; before this pin, getInt on the
+    // null slot silently read 0 and reordered the span to the front
+    val spanT = StructType(Seq(
+      StructField("kind", StringType, nullable = true),
+      StructField("text", StringType, nullable = true),
+      StructField("media_ref", StringType, nullable = true),
+      StructField("offset", IntegerType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("spans", ArrayType(spanT, containsNull = true), nullable = true)))
+    val title = "<h1>null offset doc title</h1>"
+    val body = "<p>kept body words for the doc</p>"
+    val rows = Seq(
+      // the null-offset span carries text that MUST NOT surface
+      Row("d-null-off", Seq(Row("html", "<p>GHOST words would corrupt</p>", "", null),
+        Row("html", title + body, "", 5))),
+      // all offsets null → behaves like an all-null-element doc → dropped
+      Row("d-all-null-off", Seq(Row("html", title, "", null))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = graft.extract.ExtractSpansExpr.run(df)
+      .selectExpr("doc_id", "cast(spans as string) as s")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.map(_._1).toSeq == Seq("d-null-off"))
+    assert(!out.head._2.contains("GHOST"))
+    assert(out.head._2.contains("kept body words"))
+  }
+
+  test("parity DEVIATION pinned: non-ASCII Unicode whitespace INSIDE a tag") {
+    // Documented deviation (ByteScanner scaladoc): the byte scanner's isWs
+    // is ASCII-only while the char tokenizer uses Character.isWhitespace
+    // inside tags, so U+2028 between attributes (malformed HTML) separates
+    // attributes on the CHAR path only. This test pins which side wins
+    // where, so a refactor can't silently flip it (ADVICE r2): outside
+    // tags both agree; inside a tag the byte path glues the next attr
+    // name (case A: alt lost) or the tag name itself (case B: tag
+    // unrecognized, image span lost).
+    val ls = " "
+    def spans(html: String): (Seq[(String, String, String)], Seq[(String, String, String)]) = {
+      val c = StreamEmitter.emitStreaming(html, Array.empty)
+      val bytes = html.getBytes(UTF_8)
+      val b = StreamEmitter.emitStreamingBytes(bytes, bytes.length, Array.empty)
+      (c.spans.toSeq.map(s => (s.kind, s.text, s.media_ref)),
+        b.spans.toSeq.map(s => (s.kind, s.text, s.media_ref)))
+    }
+    // case A: U+2028 between attributes — char path keeps alt, byte path loses it
+    val (ca, ba) = spans(
+      s"""<h1>unicode ws title here</h1><p>before <img src="a.png"${ls}alt="alt words"> after words</p>""")
+    assert(ca == Seq(("text", "unicode ws title here", ""),
+      ("text", "before after words", ""), ("image", "alt words", "a.png")))
+    assert(ba == Seq(("text", "unicode ws title here", ""),
+      ("text", "before after words", ""), ("image", "", "a.png")))
+    // case B: U+2028 after the tag name — byte path can't recognize <img…>
+    val (cb, bb) = spans(
+      s"""<h1>unicode ws three title</h1><p>pre <img${ls}src="b.png" alt="alt two"> post words</p>""")
+    assert(cb == Seq(("text", "unicode ws three title", ""),
+      ("text", "pre post words", ""), ("image", "alt two", "b.png")))
+    assert(bb == Seq(("text", "unicode ws three title", ""),
+      ("text", "pre post words", "")))
+    // U+2028 in TEXT content (valid HTML) does not diverge
+    val (ct, bt) = spans(s"<h1>text ws title okay</h1><p>alpha${ls}beta gamma words</p>")
+    assert(ct == bt)
+  }
 }

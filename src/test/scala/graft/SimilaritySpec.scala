@@ -153,6 +153,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.contains(0.0))
   }
 
+  test("dotNorm kernel paths share the zero-norm semantics (brute force, no NaN)") {
+    import spark.implicits._
+    // ADVICE r2: a zero vector in the corpus must score 0.0 on EVERY path
+    // — the heap kernel (dotNorm) and the expression scorer must agree,
+    // not rely on the fixtures being zero-free. NaN would sort above every
+    // real sim in the rank window and corrupt top-k order.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "embedding")
+    val r = Similarity.bruteForceTopK(spark, corpus, qs, k = 4)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toMap
+    assert(!r.values.exists(_.isNaN))
+    assert(r(2L) == 0.0) // zero vector: defined score, not NaN
+    assert(r(2L) > r(4L) && r(2L) < r(3L)) // ranks between anti- and near-parallel
+  }
+
+  test("multi-probe candidate dedup shuffles IDS only, embeddings re-attach after") {
+    // VERDICT r2 item 4 done-criterion: the dedup exchange carries two
+    // longs, not O(cand·dim) embedding arrays. The distinct's partial
+    // HashAggregate and its Exchange must mention only q_id/vec_id.
+    val plan = Similarity.lshMultiProbeTopK(spark, emb, queries, k = 5, nBits = 8)
+      .queryExecution.executedPlan.toString
+    val dedupAgg = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("keys=[q_id"))
+      .toSeq
+    assert(dedupAgg.nonEmpty, plan.take(2000))
+    dedupAgg.foreach(l => assert(!l.contains("emb"), l))
+    val dedupExchange = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(q_id"))
+      .toSeq
+    assert(dedupExchange.nonEmpty, plan.take(2000))
+    dedupExchange.foreach(l => assert(!l.contains("emb"), l))
+  }
+
   test("measured recall@5 on sf0.01 embeddings: multiprobe > single-probe") {
     import spark.implicits._
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

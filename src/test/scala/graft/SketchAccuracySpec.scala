@@ -33,4 +33,54 @@ class SketchAccuracySpec extends AnyFunSuite {
     val (exact, approx) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(approx - exact) / exact < 0.02, s"$approx vs $exact")
   }
+
+  import graft.ops.Sketches
+
+  /** deterministic mildly-varied doc texts: i-th doc perturbs a base. */
+  private def docText(i: Int): String = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    s"$base token$i marker${i % 7} extra${i % 13}"
+  }
+
+  test("simhash near pairs: candidate volume ignores duplicate multiplicity (adversarial 50% identical)") {
+    import spark.implicits._
+    // corpus A: 200 varied docs; corpus B: the same 200 PLUS one doc
+    // repeated 200× (a templated boilerplate page = the hot-bucket bomb).
+    // The de-quadratic candidate stage runs over DISTINCT signatures, so
+    // its row count must be IDENTICAL for A and B — duplicate multiplicity
+    // contributes zero candidate work (VERDICT r2 item 2 done-criterion).
+    val varied = (0 until 200).map(i => (i.toLong, docText(i)))
+    val boiler = "identical boilerplate template page words here"
+    val dupes = (200 until 400).map(i => (i.toLong, boiler))
+    val b = (varied ++ dupes).toDF("doc_id", "text")
+    val bOne = (varied :+ (200L, boiler)).toDF("doc_id", "text")
+    def candCount(docs: org.apache.spark.sql.DataFrame): Long =
+      Sketches.simhashSigPairs(Sketches.simhashTable(docs), bands = 4, maxHamming = 3).count()
+    // exact invariant: 200 copies of the template generate EXACTLY the
+    // same candidate volume as 1 copy — multiplicity is invisible to the
+    // band join (the round-2 form blew up O(copies²) right here)
+    assert(candCount(b) == candCount(bOne))
+    // and the doc-level PAIR OUTPUT (inherently quadratic for degenerate
+    // input) is still exactly right: 200 identical docs = C(200,2) pairs
+    val pairs = Sketches.simhashNearDupPairs(b).filter($"id_a" >= 200 && $"id_b" >= 200).count()
+    assert(pairs == 200L * 199 / 2)
+  }
+
+  test("simhash near pairs equal the brute-force hamming closure") {
+    import spark.implicits._
+    val docs = (0 until 120).map(i => (i.toLong, docText(i / 3))).toDF("doc_id", "text")
+    val got = Sketches.simhashNearDupPairs(docs)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the signature table (pigeonhole: maxHamming=3 < 4
+    // bands guarantees every qualifying pair shares a band)
+    val sh = Sketches.simhashTable(docs).as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
 }
