@@ -1,0 +1,87 @@
+package graft
+
+import graft.extract.Extract
+import graft.gloss.Classify
+import graft.model.Doc
+import graft.threads.Threads
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 2M-doc bench tier (VERDICT r2 item 7): sf0.1's 100k docs finish in
+  * ~0.5 s of extraction, so the per-query Bench numbers there are
+  * dominated by fixed job-setup overheads. This tier materializes a
+  * 2M-doc interleaved corpus once (untimed; reused across runs via the
+  * same tmp cache as Bench/ScalingBench) and times the full reference
+  * pipeline family over it — kernel cost dominates, which is what the
+  * 100-TB projection in BENCH/BASELINE.md extrapolates from.
+  *
+  * Steady-state shape: `classify_once` is the one-time cost (extract +
+  * corpus-IDF + classify + persist); every query after it consumes the
+  * persisted classified table, exactly how SparkEntry/Verify/CLI run.
+  *
+  * One JSON line on stdout (same contract as [[Bench]], see README);
+  * file copy at bench_large_out.json.
+  */
+object BenchLarge {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Bench.session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val parts = 128
+    val pq = Bench.corpusParquet(spark, nDocs, parts)
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // raw extraction throughput at this tier (typed + expression paths),
+    // best-of-3 after a warmup — same protocol as Bench
+    Bench.timeExtractParquet(spark, pq)
+    val extractSec = (1 to 3).map(_ => Bench.timeExtractParquet(spark, pq)._2).min
+    Bench.timeExtractParquetExpr(spark, pq)
+    val exprSec = (1 to 3).map(_ => Bench.timeExtractParquetExpr(spark, pq)._2).min
+
+    // one-time steady-state build: extract + IDF + classify + persist
+    val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
+    val (classified, classifyOnceSec) = time {
+      Classify.runCached(Extract.run(spark.read.parquet(pq).as[Doc]), bc)
+    }
+
+    // the amortized query family over the persisted classified table
+    val results = Seq[(String, () => Long)](
+      "ext_categories" -> (() => classified.toDF()
+        .groupBy(col("category")).agg(count(lit(1)).as("n_docs")).count()),
+      "ext_entities" -> (() => classified.toDF()
+        .select(explode(col("entities")).as(Seq("class", "words")))
+        .groupBy(col("class")).agg(count(lit(1)).as("n_docs")).count()),
+      "ext_threads" -> (() => Threads.threads(classified).count()),
+      "ext_threads_near" -> (() => Threads.threadsNear(classified).count()),
+      "ext_threads_fuzzy" -> (() => Threads.threadsFuzzy(classified).count()),
+      "ext_top" -> (() => Threads.top(Threads.threads(classified)).count())
+    ).map { case (name, fn) =>
+      val (_, sec) = time(fn())
+      name -> sec
+    }
+
+    val qs = (("classify_once" -> classifyOnceSec) +: results)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = classifyOnceSec + results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"synth-${nDocs}docs","docs":$nDocs,""" +
+      s""""extract_docs_per_sec":${nDocs / extractSec},""" +
+      s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +
+      s""""classify_docs_per_sec":${nDocs / classifyOnceSec},"cpus":$cpus}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_large_out.json"), line + "\n")
+    classified.unpersist()
+    spark.stop()
+  }
+}

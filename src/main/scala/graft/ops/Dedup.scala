@@ -127,9 +127,14 @@ object Dedup {
     val canon = pairs.toDF("a", "b")
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .transform(graft.tablefmt.LineageCut.cut)
-    if (canon.count() > driverThreshold) return connectedComponentsStar(canon)
-    val edges = canon.as[(Long, Long)].collect()
+    // ONE action gates the driver path: pull at most threshold+1 edges —
+    // overflow ⇒ distributed star (which cuts its own lineage per round).
+    // The r2 form spent two extra jobs here (an eager checkpoint + a
+    // count) before ever collecting; on the fuzzy-threads path those were
+    // pure fixed overhead.
+    val limited = canon.limit(driverThreshold.toInt + 1).as[(Long, Long)].collect()
+    if (limited.length > driverThreshold) return connectedComponentsStar(canon)
+    val edges = limited
     // path-compressing union-find, min-id as root
     val parent = scala.collection.mutable.HashMap[Long, Long]()
     def find(x: Long): Long = {

@@ -74,4 +74,20 @@ class CliSpec extends AnyFunSuite {
     val top = mapper.readTree(runVerb("top", 800L))
     assert(top.get(0).get("category").asText == "any")
   }
+
+  test("golden parity: all five verbs byte-exact vs checked-in goldens") {
+    // VERDICT r2 item 6: the reference printer shapes (src/printer.rs:6-62,
+    // glossary.rs:218-278) over the fixed seeded fixture, diffed byte for
+    // byte. Regenerate with `runMain graft.cli.GoldenGen` after an
+    // INTENTIONAL semantic change — any unintentional drift fails here.
+    graft.cli.GoldenGen.Verbs.foreach { verb =>
+      val want = {
+        val in = getClass.getResourceAsStream(s"/goldens/$verb.json")
+        assert(in != null, s"missing golden /goldens/$verb.json — run graft.cli.GoldenGen")
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val got = runVerb(verb, graft.cli.GoldenGen.FixtureDocs)
+      assert(got == want, s"verb '$verb' drifted from its golden")
+    }
+  }
 }
