@@ -58,6 +58,70 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(idCol, "ts")
 
+  /** Continuous thread clustering — the streaming twin of
+    * [[graft.threads.Threads.threads]] (T1): per normalized title,
+    * accumulate (size, K smallest doc_ids, min category) with
+    * mapGroupsWithState. Update-mode output: each microbatch emits the
+    * updated accumulation for every title it touched; the final (largest-
+    * size) row per title equals the batch thread row exactly — including
+    * the bounded deterministic article sample and the D7 min(category)
+    * memo (StreamSpec asserts streaming ≡ batch). Per-title state is
+    * O(K) regardless of thread size — the same hot-key-bounded property
+    * the batch salted two-phase aggregation has, which is what lets a
+    * viral title with millions of arriving docs live in streaming state.
+    */
+  def streamingThreads(classified: org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc],
+                       k: Int = graft.threads.Threads.ArticleSampleK)
+      : org.apache.spark.sql.Dataset[(String, Long, Seq[String], String)] = {
+    import classified.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    classified
+      .groupByKey(_.title_norm)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (title: String, docs: Iterator[graft.model.ClassifiedDoc],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Seq[String], String)]) =>
+          val (c0, ids0, cat0) = state.getOption.getOrElse((0L, Seq.empty[String], null: String))
+          var c = c0; var ids = ids0; var cat = cat0
+          docs.foreach { d =>
+            c += 1
+            // bounded sample: K smallest doc_ids, same as the batch
+            // slice(sort_array(collect_list), 1, K) under any arrival order
+            ids = (ids :+ d.doc_id).sorted.take(k)
+            if (cat == null || d.category < cat) cat = d.category
+          }
+          state.update((c, ids, cat))
+          (title, c, ids, cat)
+      }
+  }
+
+  /** Bounded-stream runner for [[streamingThreads]] (one parquet file per
+    * microbatch): returns the FINAL accumulation per title with the batch
+    * ≥2-member filter applied — directly comparable to
+    * `Threads.threads(classified)`.
+    */
+  def runBoundedThreads(spark: SparkSession, dir: String,
+                        k: Int = graft.threads.Threads.ArticleSampleK): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[graft.model.ClassifiedDoc].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[graft.model.ClassifiedDoc]
+    val name = s"threads_stream_${System.nanoTime()}"
+    val q = streamingThreads(stream, k)
+      .toDF("title_norm", "size", "articles", "category")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // size is monotone per title → the max-size row is the final state
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("title_norm")).orderBy(col("size").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .filter(col("size") >= 2)
+  }
+
   /** Run the streaming query over a parquet directory as a bounded stream
     * (one file per microbatch), returning the complete result — used by
     * tests to assert streaming == batch.

@@ -233,6 +233,28 @@ class StreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming thread clustering equals batch threads (incl. sample and category memo)") {
+    import spark.implicits._
+    // classified corpus from the real pipeline, staged as MANY parquet
+    // files → many microbatches; a hot title spans batches so the
+    // streaming accumulation must merge across them
+    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.defaultDicts)
+    val classified = graft.gloss.Classify.runCached(
+      graft.extract.Extract.run(graft.synth.Synth.corpus(spark, 42L, 800L)), bc)
+    val dir = Files.createTempDirectory("clsstream").toString
+    classified.toDF().repartition(7).write.mode("overwrite").parquet(dir)
+    def key(df: DataFrame) = df
+      .select(col("title_norm"), col("size").cast("long"),
+        concat_ws(",", col("articles")), col("category"))
+      .as[(String, Long, String, String)].collect().sortBy(_._1).toSeq
+    val streamed = key(EventStream.runBoundedThreads(spark, dir))
+    val batch = key(graft.threads.Threads.threads(
+      spark.read.parquet(dir).as[graft.model.ClassifiedDoc]))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    classified.unpersist()
+  }
+
   test("reliable-checkpoint switch: fuzzy threads identical with spark.graft.checkpointDir set") {
     import spark.implicits._
     // VERDICT r2 item 5: iterative lineage cuts (CC rounds, fuzzy titles,
