@@ -101,6 +101,11 @@ object Bench {
     val exprSec = (1 to 3).map(_ => timeExtractParquetExpr(spark, pq)._2).min
     val fusedSec = (1 to 3).map(_ => timeExtractFused(spark, nDocs, parts)._2).min
 
+    // per-JVM glossary parse is BOOT cost, not query cost — the reference
+    // measures it as "total boot time" separately (src/main.rs:107-108);
+    // without this warmup it lands on whichever ext_* query runs first
+    graft.gloss.Classify.defaultDicts
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

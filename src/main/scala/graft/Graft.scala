@@ -30,6 +30,13 @@ final class Graft(val spark: SparkSession) {
   def classify(docs: Dataset[Doc]): Dataset[ClassifiedDoc] =
     Classify.run(extract(docs), dicts)
 
+  /** Steady-state classify — ONE corpus scan, result persisted (caller
+    * unpersists when done). Use this when several verbs/actions consume
+    * the same corpus: [[classify]] is lazy and re-extracts per action.
+    */
+  def classifyCached(docs: Dataset[Doc]): Dataset[ClassifiedDoc] =
+    Classify.runCached(extract(docs), dicts)
+
   /** languages: (lang, doc_id) for the en/ru whitelist. */
   def languages(docs: Dataset[Doc]): DataFrame = {
     import spark.implicits._

@@ -112,13 +112,16 @@ object Threads {
     * touches the doc table, with the same hot-key-safe shape.
     */
   /** (tid, title_norm) distinct titles — the names_db equivalent; public
-    * for Verify's oracle base dump. Checkpointed: feeds both the pair
-    * generation and the component join.
+    * for Verify's oracle base dump. CACHED (lazily), not checkpointed:
+    * it feeds several consumers (pair generation, the component join)
+    * but is never iterated, so lineage depth is bounded and an eager
+    * checkpoint would just burn one extra job per fuzzy run. Spark evicts
+    * the small cached table LRU-style; callers needn't unpersist.
     */
   def fuzzyTitles(classified: DataFrame): DataFrame =
     classified.select(col("title_norm")).distinct()
       .withColumn("tid", xxhash64(col("title_norm")))
-      .transform(graft.tablefmt.LineageCut.cut)
+      .cache()
 
   /** Verified fuzzy-duplicate title pairs (a, b) over [[fuzzyTitles]]:
     * minhash anchor-star candidates → exact token-Jaccard filter.

@@ -100,4 +100,16 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
     assert(!plan.contains("MapGroups"), plan.take(2000))
   }
+
+  test("ext_* queries consume the persisted classified cache (steady state)") {
+    // VERDICT r2 item 1 regression net: the amortized architecture must be
+    // visible in the PLAN — after classifiedFor builds the per-(session,
+    // dir) cache, every ext_* consumer reads an InMemoryTableScan, not a
+    // fresh extraction (no MapPartitions/Synth stage above the cache)
+    SparkEntry.classifiedFor(spark, d)
+    Seq("ext_categories", "ext_threads", "ext_top", "ext_entities").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"$q misses the cache: ${plan.take(1200)}")
+    }
+  }
 }

@@ -281,9 +281,19 @@ class StreamSpec extends AnyFunSuite {
       val reliable = runFuzzy()
       assert(reliable == local)
       assert(local == Set((3L, Set("a1", "a2", "a3")), (2L, Set("b1", "b2"))))
-      // the reliable path actually wrote checkpoint data into the dir
-      val ckptDir = spark.sparkContext.getCheckpointDir
-      assert(ckptDir.nonEmpty, "checkpoint dir was not set on the context")
+      // exercise an ITERATIVE consumer of LineageCut under the conf (the
+      // fuzzy path above uses the driver union-find + cached titles, which
+      // never needs a lineage cut): star CC rounds must route through the
+      // reliable checkpoint and still produce min-id components
+      import graft.ops.Dedup
+      val chain = spark.createDataset((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq)
+        .toDF("a", "b")
+      val comps = Dedup.connectedComponentsStar(chain)
+        .as[(Long, Long)].collect().toSet
+      assert(comps == (1L to 6L).map(m => (m, 1L)).toSet)
+      // the reliable path actually registered the checkpoint dir
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+        "checkpoint dir was not set on the context")
     } finally spark.conf.unset(graft.tablefmt.LineageCut.ConfKey)
   }
 }
