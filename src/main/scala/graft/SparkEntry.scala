@@ -72,6 +72,16 @@ object SparkEntry {
       .select(col("doc_ids")(0).as("doc_id_a"), col("doc_ids")(1).as("doc_id_b"))
       .filter(col("doc_id_b").isNotNull).distinct()
 
+  /** PDF corpus for an sf dir (seed distinct from the HTML corpus) — the
+    * north_rule's "PDF/layout parse" leg: from-scratch content-stream
+    * text extraction (graft.pdf) into the SAME ExtractedDoc shape the
+    * HTML path produces, sharing Extract.gate.
+    */
+  def pdfExtractedFor(spark: SparkSession, dir: String) = {
+    val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 2000L else 500L
+    graft.pdf.PdfExtract.run(graft.pdf.PdfSynth.corpus(spark, seed = 43L, nDocs = n))
+  }
+
   /** Flagship: end-to-end extraction on sf0.001-scale synth corpus. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -311,7 +321,17 @@ object SparkEntry {
     "ext_top" -> ((s, d) =>
       Threads.top(Threads.threads(classifiedFor(s, d)))
         .select(col("category"), col("rank").cast("long").as("rank"),
-          col("title_norm"), col("size"))) // rank → long: DuckDB row_number is BIGINT
+          col("title_norm"), col("size"))), // rank → long: DuckDB row_number is BIGINT
+
+    // ---- the PDF leg (north_rule: "PDF/layout parse") -----------------
+    "pdf_lang_split" -> ((s, d) =>
+      pdfExtractedFor(s, d).toDF()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
+    "pdf_spans" -> ((s, d) =>
+      pdfExtractedFor(s, d).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span.kind").as("kind"),
+          col("span.offset").as("offset")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -579,6 +599,13 @@ object SparkEntry {
     "ext_spans" ->
       """SELECT doc_id, kind, "offset"
         |FROM read_parquet('{OUT}/_base/spans/*.parquet')""".stripMargin,
+    "pdf_lang_split" ->
+      """SELECT lang, count(*) AS n_docs
+        |FROM read_parquet('{OUT}/_base/pdf_extracted/*.parquet')
+        |GROUP BY lang""".stripMargin,
+    "pdf_spans" ->
+      """SELECT doc_id, kind, "offset"
+        |FROM read_parquet('{OUT}/_base/pdf_spans/*.parquet')""".stripMargin,
     "ext_categories" ->
       """SELECT category, count(*) AS n_docs
         |FROM read_parquet('{OUT}/_base/classified/*.parquet')

@@ -46,6 +46,16 @@ object Verify {
         col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/spans")
 
+    // PDF-leg base tables: generation is a pure function of (seed, idx),
+    // so this dump and the pdf_* queries see byte-identical corpora
+    val pdfExt = SparkEntry.pdfExtractedFor(spark, sfDir).toDF()
+      .localCheckpoint(true) // one pdf extraction pass feeds both bases
+    pdfExt.select(col("doc_id"), col("lang"), col("title_norm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/pdf_extracted")
+    pdfExt.select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("span.kind").as("kind"), col("span.offset").as("offset"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/pdf_spans")
+
     // clustering-key bases: DuckDB re-derives the near (simhash-band
     // groupBy) and fuzzy (CC over verified title pairs) thread tails
     graft.threads.Threads.nearKeyed(classified)

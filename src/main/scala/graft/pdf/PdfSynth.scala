@@ -1,0 +1,202 @@
+package graft.pdf
+
+import graft.model.Span
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic PDF generator — the span ORACLE for the PDF path,
+  * mirroring `graft.synth.Synth` for HTML: the builder and
+  * [[PdfScanner]] agree BY CONSTRUCTION on the expected title + span
+  * sequence, and generation is a pure function of (seed, idx) so any
+  * partitioning sees byte-identical corpora (PdfSpec asserts equality
+  * doc-for-doc; never change the generator without the scanner).
+  *
+  * Exercised variation per doc (all scanner-subset features):
+  *  - content stream raw vs FlateDecode;
+  *  - literal `(…)` strings (with escaped delimiters/backslashes and an
+  *    octal escape) vs hex `<…>` strings;
+  *  - multi-line paragraphs via `Td`/`TD`/`T*`/`'` line moves;
+  *  - 0-2 interleaved image placements (`/ImN Do`);
+  *  - en / ru (UTF-8 Cyrillic in strings) / dropped docs (all-decorative
+  *    text in a confusable language, failing the en/ru gate).
+  */
+object PdfSynth {
+
+  final case class PdfTruth(doc_id: String, pdf: Array[Byte], kept: Boolean,
+                            lang: String, title: String, expected: Array[Span])
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def pick[A](arr: IndexedSeq[A], h: Long): A = arr(((h >>> 8) % arr.length).toInt.abs)
+
+  private val EnWords = Vector("the", "market", "report", "and", "annual", "of",
+    "growth", "review", "energy", "policy", "board", "summary", "with", "results",
+    "quarter", "trade", "union", "council", "science", "budget")
+  private val RuWords = Vector("отчет", "рынок", "годовой", "обзор", "и", "рост",
+    "энергия", "политика", "совет", "итоги", "квартал", "торговля", "союз", "наука")
+  // Spanish-leaning words: detected as a confusable → doc dropped by the gate
+  private val EsWords = Vector("el", "mercado", "informe", "anual", "crecimiento",
+    "energía", "política", "consejo", "resultados", "trimestre", "comercio")
+
+  private def words(pool: Vector[String], h: Long, n: Int): String =
+    (0 until n).map(k => pick(pool, mix(h + k))).mkString(" ")
+
+  /** One synthetic PDF + its expected extraction. */
+  def gen(seed: Long, idx: Long): PdfTruth = {
+    val h = mix(seed ^ mix(idx))
+    val langRoll = (mix(h + 1) & 0xff).toInt
+    val (pool, lang) =
+      if (langRoll < 160) (EnWords, "en")
+      else if (langRoll < 224) (RuWords, "ru")
+      else (EsWords, "es") // dropped by the en/ru whitelist
+    val flate = (mix(h + 2) & 1L) == 0L
+    val hexStrings = (mix(h + 3) & 3L) == 0L // hex strings can't carry escapes
+    val nParas = 1 + (mix(h + 4) & 3L).toInt // 1-4
+    val nImages = (mix(h + 5) % 3).toInt.abs  // 0-2
+
+    // en titles lead with a guaranteed profile stopword: the language
+    // vote is stopword-based and a short all-content-word title could
+    // otherwise return no evidence (→ dropped) nondeterministically
+    // w.r.t. the word roll; ru needs none (script range suffices)
+    val titleLead = if (lang == "en") "the " else ""
+    val title = titleLead + words(pool, h + 10, 3 + (mix(h + 6) & 3L).toInt)
+    val paras = (0 until nParas).map { p =>
+      val lines = 1 + (mix(h + 20 + p) & 2L).toInt // 1-3 lines
+      (0 until lines).map(l => words(pool, h + 100 + p * 10 + l, 4 + (mix(h + 7 + l) & 3L).toInt))
+    }
+    // one paragraph (when literal strings are on) carries delimiters + an
+    // octal escape to keep the escape table honest end-to-end
+    val escPara = !hexStrings && (mix(h + 8) & 3L) == 0L
+
+    val content = new StringBuilder
+    def str(s: String): String =
+      if (hexStrings)
+        "<" + s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString + ">"
+      else {
+        val esc = s.flatMap {
+          case '\\' => "\\\\"
+          case '('  => "\\("
+          case ')'  => "\\)"
+          case c    => c.toString
+        }
+        "(" + esc + ")"
+      }
+    content.append(s"BT /F1 24 Tf 72 720 Td ${str(title)} Tj ET\n")
+    val expectedTexts = new scala.collection.mutable.ArrayBuffer[String]
+    expectedTexts += title
+    paras.zipWithIndex.foreach { case (lines, p) =>
+      content.append("BT /F1 11 Tf 72 680 Td ")
+      val shown = new scala.collection.mutable.ArrayBuffer[String]
+      lines.zipWithIndex.foreach { case (line, l) =>
+        val text =
+          if (escPara && p == 0 && l == 0) s"(paren) \\ qq A" // A arrives via octal \101; 'qq' is in no language profile
+          else line
+        val encoded =
+          if (escPara && p == 0 && l == 0 && !hexStrings)
+            "(\\(paren\\) \\\\ qq \\101)" // exercises delimiter + octal escapes
+          else str(text)
+        val mover = (mix(h + 300 + p * 10 + l) % 4).toInt.abs
+        if (l > 0) mover match {
+          case 0 => content.append("0 -14 Td ")
+          case 1 => content.append("0 -14 TD ")
+          case 2 => content.append("T* ")
+          case _ => () // the ' operator moves AND shows below
+        }
+        if (l > 0 && mover == 3) content.append(s"$encoded ' ")
+        else content.append(s"$encoded Tj ")
+        shown += text
+      }
+      content.append("ET\n")
+      expectedTexts += shown.mkString(" ")
+    }
+    // interleave: images go after paragraph k (deterministic positions);
+    // the content-side Do placement below mirrors the expected sequence
+    val imgAfter = (0 until nImages).map(k => (mix(h + 400 + k) % nParas).toInt.abs).sorted
+    val contentWithImages = {
+      val blocks = content.toString.split("\n").filter(_.nonEmpty)
+      val sb = new StringBuilder
+      var ii = 0
+      blocks.zipWithIndex.foreach { case (b, bi) =>
+        sb.append(b).append("\n")
+        val paraIdx = bi - 1 // block 0 is the title
+        while (paraIdx >= 0 && ii < imgAfter.length && imgAfter(ii) == paraIdx) {
+          sb.append(s"/Im${ii + 1} Do\n")
+          ii += 1
+        }
+      }
+      sb.toString
+    }
+    // rebuild expected spans WITH images at the same interleave points
+    val expected = new scala.collection.mutable.ArrayBuffer[Span]
+    expected += Span("text", graft.html.SpanEmitter.collapseWs(expectedTexts.head), "", 0)
+    var o = 1
+    var ij = 0
+    paras.indices.foreach { p =>
+      expected += Span("text", graft.html.SpanEmitter.collapseWs(expectedTexts(p + 1)), "", o)
+      o += 1
+      while (ij < imgAfter.length && imgAfter(ij) == p) {
+        expected += Span("image", "", s"Im${ij + 1}", o)
+        o += 1; ij += 1
+      }
+    }
+
+    val contentBytes0 = contentWithImages.getBytes("UTF-8")
+    val contentBytes =
+      if (flate) {
+        val def_ = new java.util.zip.Deflater()
+        def_.setInput(contentBytes0); def_.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+        def_.end()
+        out.toByteArray
+      } else contentBytes0
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("UTF-8"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${contentBytes.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    bos.write(contentBytes)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    // a tiny (non-content) image stream: bytes chosen with no BT/Do tokens
+    if (nImages > 0) {
+      val imgData = Array.tabulate[Byte](16)(k => (mix(h + 500 + k) & 0x3f).toByte)
+      w(s"6 0 obj << /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${imgData.length} >>\nstream\n")
+      bos.write(imgData)
+      w("\nendstream\nendobj\n")
+    }
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+
+    val kept = lang == "en" || lang == "ru"
+    PdfTruth(f"pdf-$idx%09d", bos.toByteArray, kept, if (kept) lang else "",
+      graft.html.SpanEmitter.collapseWs(title), expected.toArray)
+  }
+
+  /** (doc_id, pdf bytes) corpus — pure function of (seed, idx). */
+  def corpus(spark: SparkSession, seed: Long, nDocs: Long,
+             partitions: Int = 0): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).map { i =>
+      val t = gen(seed, i)
+      (t.doc_id, t.pdf)
+    }
+  }
+
+  def truths(spark: SparkSession, seed: Long, nDocs: Long,
+             partitions: Int = 0): Dataset[PdfTruth] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).map(i => gen(seed, i))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.pdf.{PdfExtract, PdfScanner, PdfSynth}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** PDF path: generator-oracle equality (PdfSynth and PdfScanner agree by
+  * construction, like Synth for HTML), escape-table exactness,
+  * layout-title heuristic, never-throw robustness, and the distributed
+  * integration through the shared Extract.gate.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("scanner ≡ generator oracle on 1500 synth PDFs (flate/raw, literal/hex, escapes)") {
+    var kept = 0
+    (0 until 1500).foreach { i =>
+      val t = PdfSynth.gen(42L, i)
+      val got = PdfScanner.extract(t.pdf)
+      assert(got.title == t.title, s"doc $i title: '${got.title}' vs '${t.title}'")
+      assert(got.spans.toSeq.map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+        t.expected.toSeq.map(s => (s.kind, s.text, s.media_ref, s.offset)), s"doc $i spans")
+      val gate = graft.extract.Extract.gate(got)
+      assert(gate.isDefined == t.kept, s"doc $i kept: ${gate.isDefined} vs ${t.kept} (${t.title})")
+      gate.foreach { case (lang, _) => assert(lang == t.lang, s"doc $i lang") }
+      if (t.kept) kept += 1
+    }
+    assert(kept > 900) // en+ru majority by construction
+  }
+
+  test("literal-string escape table: delimiters, controls, octal, continuations") {
+    def lit(s: String): String = {
+      val bytes = s.getBytes(UTF_8)
+      val (out, _) = PdfScanner.literalString(bytes, 0)
+      new String(out, UTF_8)
+    }
+    assert(lit("(plain words)") == "plain words")
+    assert(lit("(a \\( b \\) c \\\\ d)") == "a ( b ) c \\ d")
+    assert(lit("(tab\\there)") == "tab\there")
+    assert(lit("(nl\\nhere)") == "nl\nhere")
+    assert(lit("(oct \\101\\102\\103)") == "oct ABC")
+    assert(lit("(two-digit \\41)") == "two-digit !")
+    assert(lit("(nested (parens) balance)") == "nested (parens) balance")
+    assert(lit("(cont\\\ninued)") == "continued") // escaped EOL vanishes
+    assert(lit("(unknown \\q escape)") == "unknown q escape")
+  }
+
+  test("hex strings: case, whitespace, odd-digit padding") {
+    def hex(s: String): Array[Byte] = PdfScanner.hexString(s.getBytes(UTF_8), 0)._1
+    assert(new String(hex("<48656c6c6f>"), UTF_8) == "Hello")
+    assert(new String(hex("<48 65 6C 6e\n6f>"), UTF_8) == "Helno")
+    assert(hex("<41 2>").toSeq == Seq('A'.toByte, 0x20.toByte)) // odd tail pads low nibble
+  }
+
+  test("layout title heuristic: largest font wins, first on ties") {
+    val content =
+      "BT /F1 10 Tf (small opener text) Tj ET\n" +
+      "BT /F1 30 Tf (the real headline) Tj ET\n" +
+      "BT /F1 30 Tf (the second headline) Tj ET\n" +
+      "BT /F1 12 Tf (body follows here) Tj ET\n"
+    val pdf = rawPdf(content)
+    val got = PdfScanner.extract(pdf)
+    assert(got.title == "the real headline")
+    assert(got.spans.map(_.text).toSeq == Seq(
+      "small opener text", "the real headline", "the second headline", "body follows here"))
+  }
+
+  test("TJ arrays concatenate shows; kern numbers ignored; Do emits image spans in order") {
+    val content =
+      "BT /F1 24 Tf [(the ti) -250 (tle here)] TJ ET\n" +
+      "/Im7 Do\n" +
+      "BT /F1 10 Tf (body text words) Tj ET\n"
+    val got = PdfScanner.extract(rawPdf(content))
+    // TJ elements concatenate byte-adjacent (kern numbers are horizontal
+    // nudges, not word breaks — "the ti" + "tle here" is one word run)
+    assert(got.title == "the title here")
+    assert(got.spans.map(s => (s.kind, s.media_ref)).toSeq ==
+      Seq(("text", ""), ("image", "Im7"), ("text", "")))
+  }
+
+  test("never throws: random bytes, truncated PDFs, hostile streams") {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 500).foreach { s =>
+      val len = (mix(s) & 0x1ff).toInt
+      val junk = Array.tabulate[Byte](len)(k => (mix(s * 131 + k) & 0xff).toByte)
+      PdfScanner.extract(junk) // must not throw
+    }
+    val real = PdfSynth.gen(42L, 7).pdf
+    (1 until real.length by 37).foreach { cut =>
+      PdfScanner.extract(java.util.Arrays.copyOfRange(real, 0, cut)) // truncations
+    }
+    // declared /Length longer than the data; bogus filter; unbalanced dict
+    PdfScanner.extract("x << /Length 999999 >> stream\nBT (a) Tj ET".getBytes(UTF_8))
+    PdfScanner.extract("<< /Filter /LZWDecode >> stream\nBT (a) Tj ET\nendstream".getBytes(UTF_8))
+    PdfScanner.extract("<< /Length 4 0 R >> stream\nBT /F1 9 Tf (ok words) Tj ET\nendstream".getBytes(UTF_8))
+  }
+
+  test("indirect /Length falls back to endstream scan and still extracts") {
+    val got = PdfScanner.extract(
+      ("z 0 obj << /Length 4 0 R >> stream\n" +
+        "BT /F1 14 Tf (the indirect length title) Tj ET\nendstream endobj").getBytes(UTF_8))
+    assert(got.title == "the indirect length title")
+  }
+
+  test("distributed PdfExtract.run equals per-doc truth through the shared gate") {
+    import spark.implicits._
+    val n = 400L
+    val got = PdfExtract.run(PdfSynth.corpus(spark, 42L, n, partitions = 7))
+      .map(e => (e.doc_id, e.lang, e.title_norm,
+        e.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq))
+      .collect().map(r => r._1 -> r).toMap
+    val truths = PdfSynth.truths(spark, 42L, n).collect()
+    truths.foreach { t =>
+      if (t.kept) {
+        val e = got.getOrElse(t.doc_id, fail(s"${t.doc_id} missing"))
+        assert(e._2 == t.lang)
+        assert(e._3 == graft.extract.TitleKey.normTitle(t.title))
+        assert(e._4 == t.expected.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq)
+      } else assert(!got.contains(t.doc_id), s"${t.doc_id} should be dropped")
+    }
+    assert(got.size == truths.count(_.kept))
+    assert(truths.count(_.kept) > 200)
+  }
+
+  test("PDF docs flow into classification and threads like HTML docs") {
+    import spark.implicits._
+    val extracted = PdfExtract.run(PdfSynth.corpus(spark, 42L, 300L))
+    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.defaultDicts)
+    val classified = graft.gloss.Classify.run(extracted, bc)
+    assert(classified.count() == extracted.count())
+    // duplicate titles exist in the word-pool space → some threads form
+    val th = graft.threads.Threads.threads(classified).count()
+    assert(th >= 0) // smoke: the operators compose; thread count is corpus-dependent
+  }
+
+  /** minimal raw-stream PDF around a content string */
+  private def rawPdf(content: String): Array[Byte] = {
+    val c = content.getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(UTF_8))
+    w("%PDF-1.4\n")
+    w(s"4 0 obj << /Length ${c.length} >>\nstream\n")
+    bos.write(c)
+    w("\nendstream\nendobj\n%%EOF\n")
+    bos.toByteArray
+  }
+}
