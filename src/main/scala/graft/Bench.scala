@@ -85,6 +85,28 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** PDF-leg throughput: materialize a (doc_id, pdf binary) corpus once
+    * (untimed), then time PdfExtract from parquet — the table-input shape,
+    * same protocol as the HTML extraction headline.
+    */
+  def pdfCorpusParquet(spark: SparkSession, nDocs: Long, partitions: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_pdf_corpus_${nDocs}_$partitions"
+    if (!new java.io.File(dir, "_SUCCESS").exists) {
+      import spark.implicits._
+      graft.pdf.PdfSynth.corpus(spark, 43L, nDocs, partitions)
+        .toDF("doc_id", "pdf").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def timePdfExtract(spark: SparkSession, dir: String): (Long, Double) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val n = graft.pdf.PdfExtract.run(
+      spark.read.parquet(dir).as[(String, Array[Byte])]).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,6 +122,11 @@ object Bench {
     timeExtractParquetExpr(spark, pq) // warmup
     val exprSec = (1 to 3).map(_ => timeExtractParquetExpr(spark, pq)._2).min
     val fusedSec = (1 to 3).map(_ => timeExtractFused(spark, nDocs, parts)._2).min
+    // PDF leg at a tenth of the HTML tier (PDFs are heavier per doc)
+    val pdfDocs = math.max(nDocs / 10, 100L)
+    val pdfPq = pdfCorpusParquet(spark, pdfDocs, 32)
+    timePdfExtract(spark, pdfPq) // warmup
+    val pdfSec = (1 to 3).map(_ => timePdfExtract(spark, pdfPq)._2).min
 
     // per-JVM glossary parse is BOOT cost, not query cost — the reference
     // measures it as "total boot time" separately (src/main.rs:107-108);
@@ -121,6 +148,7 @@ object Bench {
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
       s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +
       s""""fused_docs_per_sec":${nDocs / fusedSec},""" +
+      s""""pdf_docs":$pdfDocs,"pdf_extract_docs_per_sec":${pdfDocs / pdfSec},""" +
       s""""extract_task_skew":$skew,"extract_tasks":$nTasks,"cpus":$cpus}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
