@@ -34,15 +34,31 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]]()
   private val classifiedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]]()
+  private val pdfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]]()
+
+  /** Drop memo entries whose SparkContext has stopped — the maps are
+    * process-global, and without this a long-lived JVM cycling sessions
+    * (test suites, notebooks) would pin dead sessions and their persisted
+    * Datasets forever.
+    */
+  private def pruneStopped(): Unit =
+    Seq(extractedCache, classifiedCache, pdfCache).foreach { m =>
+      m.keySet.removeIf { case (s, _) =>
+        try s.sparkContext.isStopped catch { case _: Throwable => true }
+      }
+    }
 
   /** Extracted corpus for an sf dir, persisted ONCE per (session, dir)
     * and shared by [[classifiedFor]] and the span queries — the
     * extraction kernel runs a single time per job session.
     */
-  def extractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] =
+  def extractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] = {
+    pruneStopped()
     extractedCache.computeIfAbsent((spark, dir), { case (s, d) =>
       extractedFor(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Classified corpus for an sf dir — extracted, IDF'd, and classified
     * exactly ONCE per (session, dir), persisted, and shared by every
@@ -62,6 +78,19 @@ object SparkEntry {
       cls.count() // materialize now: downstream actions hit the cache
       cls         // ext stays persisted — shared with the span queries
     })
+
+  /** PDF corpus, extracted and persisted ONCE per (session, dir) — shared
+    * by both pdf_* queries and Verify's base dump (generation is pure, so
+    * sharing only saves work, never changes rows).
+    */
+  def pdfExtractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] = {
+    pruneStopped()
+    pdfCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val ds = pdfExtractedFor(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      ds
+    })
+  }
 
   /** Candidate pairs for the n-gram-Jaccard demo query (first two sampled
     * members of each minhash band bucket) — shared with Verify's oracle
@@ -325,10 +354,10 @@ object SparkEntry {
 
     // ---- the PDF leg (north_rule: "PDF/layout parse") -----------------
     "pdf_lang_split" -> ((s, d) =>
-      pdfExtractedFor(s, d).toDF()
+      pdfExtractedCachedFor(s, d).toDF()
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
     "pdf_spans" -> ((s, d) =>
-      pdfExtractedFor(s, d).toDF()
+      pdfExtractedCachedFor(s, d).toDF()
         .select(col("doc_id"), explode(col("spans")).as("span"))
         .select(col("doc_id"), col("span.kind").as("kind"),
           col("span.offset").as("offset")))

@@ -48,8 +48,8 @@ object Verify {
 
     // PDF-leg base tables: generation is a pure function of (seed, idx),
     // so this dump and the pdf_* queries see byte-identical corpora
-    val pdfExt = SparkEntry.pdfExtractedFor(spark, sfDir).toDF()
-      .localCheckpoint(true) // one pdf extraction pass feeds both bases
+    val pdfExt = SparkEntry.pdfExtractedCachedFor(spark, sfDir).toDF()
+    // (persisted — the same dataset the pdf_* queries below consume)
     pdfExt.select(col("doc_id"), col("lang"), col("title_norm"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/pdf_extracted")
     pdfExt.select(col("doc_id"), explode(col("spans")).as("span"))

@@ -93,9 +93,23 @@ object Main {
     val idf = opts.get("out") match {
       case Some(out) =>
         val idfDir = s"$out/_idf"
-        if (!new java.io.File(idfDir, "_SUCCESS").exists)
+        val fpFile = java.nio.file.Paths.get(s"$out/_idf_fp")
+        // input fingerprint gates reuse: a persisted IDF from a DIFFERENT
+        // corpus must not silently score this one. The fingerprint runs on
+        // the (persisted) extracted cache — no extra corpus scan.
+        val fp = {
+          val r = extracted.toDF().agg(
+            count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("title_norm")))).head()
+          s"${r.getLong(0)}:${r.getLong(1)}"
+        }
+        val fresh = java.nio.file.Files.exists(fpFile) &&
+          java.nio.file.Files.readString(fpFile).trim == fp &&
+          new java.io.File(idfDir, "_SUCCESS").exists
+        if (!fresh) {
           Classify.dfTable(extracted, bc.value)
             .coalesce(1).write.mode("overwrite").parquet(idfDir)
+          java.nio.file.Files.writeString(fpFile, fp)
+        }
         Classify.idfFromTable(spark.read.parquet(idfDir))
       case None => Classify.computeIdf(extracted, bc.value)
     }

@@ -132,8 +132,11 @@ object Dedup {
     // The r2 form spent two extra jobs here (an eager checkpoint + a
     // count) before ever collecting; on the fuzzy-threads path those were
     // pure fixed overhead.
-    val limited = canon.limit(driverThreshold.toInt + 1).as[(Long, Long)].collect()
-    if (limited.length > driverThreshold) return connectedComponentsStar(canon)
+    // clamp: limit() takes an Int — a Long threshold above Int.MaxValue
+    // just means "driver path for any collectable graph"
+    val gate = math.min(driverThreshold, (Int.MaxValue - 1).toLong).toInt
+    val limited = canon.limit(gate + 1).as[(Long, Long)].collect()
+    if (limited.length > gate) return connectedComponentsStar(canon)
     val edges = limited
     // path-compressing union-find, min-id as root
     val parent = scala.collection.mutable.HashMap[Long, Long]()

@@ -116,8 +116,12 @@ object Similarity {
     // appears once) — the distinct exchange carries two longs, not
     // embedding arrays (round 2 shuffled O(cand·dim) here); embeddings
     // re-attach afterward: queries from the broadcast side, corpus rows
-    // via a join the candidate side of which is orders of magnitude
-    // smaller than the corpus (AQE broadcasts it)
+    // via a join on vec_id. When cand fits the broadcast threshold AQE
+    // broadcasts it (corpus unshuffled); past it the join shuffles the
+    // corpus embeddings ONCE — O(corpus·dim), still strictly better than
+    // the r2 form whenever cand ≥ corpus (multi-probe cand ≈
+    // nQ·(nBits+1)·corpus/2^nBits, e.g. 600 queries @8 bits ⇒ ~21×
+    // corpus), and never worse by more than corpus/cand
     val cand = cs.select(col("vec_id"), col("bucket"))
       .join(broadcast(qProbes), "bucket")
       .select(col("q_id"), col("vec_id"))

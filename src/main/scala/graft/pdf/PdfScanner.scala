@@ -69,8 +69,11 @@ object PdfScanner {
         if (dataStart < n && bytes(dataStart) == '\r') dataStart += 1
         if (dataStart < n && bytes(dataStart) == '\n') dataStart += 1
         val endPos = indexOf(bytes, "endstream", dataStart)
-        // the stream's dict: lenient — the last `<<` before the keyword
-        val dictStart = lastIndexOf(bytes, "<<", sPos)
+        // the stream's dict: walk BACKWARD balancing >>/<< so a nested
+        // sub-dictionary (e.g. /DecodeParms << /Predictor 12 >>) doesn't
+        // hide the outer dict's /Filter and /Length (the naive "last <<
+        // before stream" would land inside the sub-dict)
+        val dictStart = balancedDictStart(bytes, sPos)
         val dict =
           if (dictStart < 0) ""
           else new String(bytes, dictStart, sPos - dictStart, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -117,6 +120,25 @@ object PdfScanner {
     */
   private def looksLikeContent(data: Array[Byte]): Boolean =
     hasToken(data, "BT") || hasToken(data, "Do")
+
+  /** Start index of the balanced `<< … >>` dict that CLOSES nearest
+    * before `streamPos` (scanning backward, `>>` opens a level and `<<`
+    * closes one). Returns the naive last-`<<` position when no closing
+    * `>>` precedes the keyword (damaged input — stay lenient).
+    */
+  private[graft] def balancedDictStart(bytes: Array[Byte], streamPos: Int): Int = {
+    val close = lastIndexOf(bytes, ">>", streamPos)
+    if (close < 0) return lastIndexOf(bytes, "<<", streamPos)
+    var depth = 1
+    var i = close - 1
+    while (i > 0 && depth > 0) {
+      if (bytes(i - 1) == '<' && bytes(i) == '<') { depth -= 1; if (depth == 0) return i - 1; i -= 2 }
+      else if (bytes(i - 1) == '>' && bytes(i) == '>') { depth += 1; i -= 2 }
+      else i -= 1
+    }
+    if (depth > 0 && i == 0 && bytes.length > 1 && bytes(0) == '<' && bytes(1) == '<') 0
+    else -1
+  }
 
   /** Direct `/Length N` from a stream dict; None for an indirect
     * reference (`/Length 4 0 R`) or a missing/garbled entry.

@@ -13,6 +13,24 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
+  /** UTF-8 binary string ordering — what Spark's sort_array/min compare.
+    * Java's natural String order diverges on supplementary characters
+    * (UTF-16 surrogates sort below U+E000..U+FFFF); streaming state that
+    * must equal batch aggregates has to compare the same way.
+    */
+  val Utf8Ordering: Ordering[String] = Ordering.comparatorToOrdering {
+    (a: String, b: String) =>
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var r = 0
+      while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r else x.length - y.length
+  }
+
+  private def ltUtf8(a: String, b: String): Boolean = Utf8Ordering.lt(a, b)
+
   /** Hourly tumbling-window counts/sums per event_type, streaming. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -85,9 +103,12 @@ object EventStream {
           docs.foreach { d =>
             c += 1
             // bounded sample: K smallest doc_ids, same as the batch
-            // slice(sort_array(collect_list), 1, K) under any arrival order
-            ids = (ids :+ d.doc_id).sorted.take(k)
-            if (cat == null || d.category < cat) cat = d.category
+            // slice(sort_array(collect_list), 1, K) under any arrival
+            // order. Ordering MUST be UTF-8 binary (what sort_array
+            // compares) — Java String ordering differs on non-BMP chars
+            // (surrogates sort low), which would flip the sample
+            ids = (ids :+ d.doc_id).sorted(EventStream.Utf8Ordering).take(k)
+            if (cat == null || ltUtf8(d.category, cat)) cat = d.category
           }
           state.update((c, ids, cat))
           (title, c, ids, cat)

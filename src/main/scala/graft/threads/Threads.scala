@@ -113,10 +113,12 @@ object Threads {
     */
   /** (tid, title_norm) distinct titles — the names_db equivalent; public
     * for Verify's oracle base dump. CACHED (lazily), not checkpointed:
-    * it feeds several consumers (pair generation, the component join)
-    * but is never iterated, so lineage depth is bounded and an eager
-    * checkpoint would just burn one extra job per fuzzy run. Spark evicts
-    * the small cached table LRU-style; callers needn't unpersist.
+    * it feeds several consumers during pair generation but is never
+    * iterated, so lineage depth is bounded and an eager checkpoint would
+    * just burn one extra job per fuzzy run. NOTE: cached relations stay
+    * registered until unpersisted — [[threadsFuzzy]] releases it as soon
+    * as pair generation completes; external callers (Verify) should
+    * unpersist when done or let the process exit.
     */
   def fuzzyTitles(classified: DataFrame): DataFrame =
     classified.select(col("title_norm")).distinct()
@@ -143,6 +145,13 @@ object Threads {
     val titles = fuzzyTitles(classified.toDF())
     val verified = fuzzyVerifiedPairs(titles, minJaccard)
     val comps = Dedup.connectedComponentsAuto(verified) // (member tid, component)
+    // pair generation (the cache's 3 consumers) is DONE once CC returns
+    // (its gate/rounds are actions); release the cached titles now —
+    // CacheManager never drops registered relations on its own, so a
+    // long-lived session running many fuzzy jobs would otherwise
+    // accumulate them. The final doc join below recomputes the distinct
+    // once from the (typically persisted) classified input.
+    titles.unpersist(false)
     val titleComp = titles
       .join(comps, titles("tid") === comps("member"), "left")
       .select(col("title_norm"),

@@ -75,6 +75,24 @@ class CliSpec extends AnyFunSuite {
     assert(top.get(0).get("category").asText == "any")
   }
 
+  test("persisted --out/_idf is fingerprint-gated: corpus change regenerates it") {
+    val out = java.nio.file.Files.createTempDirectory("idfout").toString
+    def run(n: Long): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, "categories", Map("synth" -> n.toString, "out" -> out))
+      }
+    }
+    def sentinelN: Long = // N rides the sentinel row; idfFromTable knows it
+      graft.gloss.Classify.idfFromTable(spark.read.parquet(s"$out/_idf")).nDocs
+    run(300L)
+    val n1 = sentinelN
+    run(300L) // same corpus → reused (fingerprint matches, same N)
+    assert(sentinelN == n1)
+    run(600L) // different corpus → MUST regenerate, not silently reuse
+    assert(sentinelN > n1)
+  }
+
   test("golden parity: all five verbs byte-exact vs checked-in goldens") {
     // VERDICT r2 item 6: the reference printer shapes (src/printer.rs:6-62,
     // glossary.rs:218-278) over the fixed seeded fixture, diffed byte for

@@ -104,6 +104,38 @@ class PdfSpec extends AnyFunSuite {
     PdfScanner.extract("x << /Length 999999 >> stream\nBT (a) Tj ET".getBytes(UTF_8))
     PdfScanner.extract("<< /Filter /LZWDecode >> stream\nBT (a) Tj ET\nendstream".getBytes(UTF_8))
     PdfScanner.extract("<< /Length 4 0 R >> stream\nBT /F1 9 Tf (ok words) Tj ET\nendstream".getBytes(UTF_8))
+    // bit-flip fuzz over VALID PDFs: structured corruption (broken dicts,
+    // torn strings, corrupted zlib) is harsher than random soup
+    (0 until 200).foreach { s =>
+      val base = PdfSynth.gen(42L, s % 20).pdf.clone()
+      var k = 0
+      while (k < 8) {
+        val pos = ((mix(s * 977 + k) >>> 8) % base.length).toInt.abs
+        base(pos) = (base(pos) ^ (1 << ((mix(s + k) & 7L).toInt)).toByte).toByte
+        k += 1
+      }
+      PdfScanner.extract(base) // must not throw, whatever survives
+    }
+  }
+
+  test("nested sub-dictionary does not hide the stream dict (/DecodeParms case)") {
+    // the naive last-`<<` would land inside /DecodeParms and miss both
+    // /FlateDecode and /Length — the balanced backward walk must not
+    val content = "BT /F1 18 Tf (the nested dict title) Tj ET".getBytes(UTF_8)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val flated = out.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(("7 0 obj << /Length " + flated.length +
+      " /Filter /FlateDecode /DecodeParms << /Predictor 1 /Columns 1 >> >>\nstream\n").getBytes(UTF_8))
+    bos.write(flated)
+    bos.write("\nendstream endobj".getBytes(UTF_8))
+    val got = PdfScanner.extract(bos.toByteArray)
+    assert(got.title == "the nested dict title")
   }
 
   test("indirect /Length falls back to endstream scan and still extracts") {
