@@ -43,7 +43,8 @@ object SparkEntry {
     * Datasets forever.
     */
   private def pruneStopped(): Unit =
-    Seq(extractedCache, classifiedCache, pdfCache).foreach { m =>
+    Seq[java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]](
+      extractedCache, classifiedCache, pdfCache, ivfCache).foreach { m =>
       m.keySet.removeIf { case (s, _) =>
         try s.sparkContext.isStopped catch { case _: Throwable => true }
       }
@@ -78,6 +79,29 @@ object SparkEntry {
       cls.count() // materialize now: downstream actions hit the cache
       cls         // ext stays persisted — shared with the span queries
     })
+
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** IVF index (corpus assignments + query probe lists), trained ONCE per
+    * (session, dir) and persisted — the build-once/search-many serving
+    * shape. Training is deterministic (canonical-order fold), so Verify's
+    * base dump and the ann_ivf_topk query sharing one training only saves
+    * the second Lloyd's run, never changes rows.
+    */
+  def ivfFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    pruneStopped()
+    ivfCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val (a, p) = Similarity.ivfAssignProbes(s, emb, queries)
+      val ap = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ap.count(); pp.count()
+      (ap, pp)
+    })
+  }
 
   /** PDF corpus, extracted and persisted ONCE per (session, dir) — shared
     * by both pdf_* queries and Verify's base dump (generation is pure, so
@@ -298,10 +322,8 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
     "ann_ivf_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding"))
-      Similarity.ivfTopK(s, emb, queries, k = 5)
+      val (assigned, probes) = ivfFor(s, d) // index built once per session
+      Similarity.ivfSearch(assigned, probes, k = 5)
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
     "emb_cosine_dup" -> ((s, d) =>

@@ -92,10 +92,8 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ann_sig6")
     graft.ops.Similarity.sigTable(spark, emb, nBits = 8)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ann_sig8")
-    val annQueries = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding"))
-    val (ivfAssign, ivfProbes) =
-      graft.ops.Similarity.ivfAssignProbes(spark, emb, annQueries)
+    // the SAME persisted trained index the ann_ivf_topk query searches
+    val (ivfAssign, ivfProbes) = SparkEntry.ivfFor(spark, sfDir)
     ivfAssign.select(col("vec_id"), col("cid"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/ivf_assign")
     ivfProbes.select(col("q_id"), col("cid"))

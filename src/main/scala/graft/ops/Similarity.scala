@@ -344,12 +344,10 @@ object Similarity {
     (assigned, probes)
   }
 
-  /** IVF search: assign corpus once, probe `nProbe` centroid lists. */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 2,
-              iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val (assigned, probes) =
-      ivfAssignProbes(spark, corpus, queries, nCentroids, nProbe, iters, seed)
+  /** IVF search tail over a PRE-BUILT index — the steady-state serving
+    * path: train/assign once (expensive, offline), search many times.
+    */
+  def ivfSearch(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -358,6 +356,15 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** IVF search: assign corpus once, probe `nProbe` centroid lists. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val (assigned, probes) =
+      ivfAssignProbes(spark, corpus, queries, nCentroids, nProbe, iters, seed)
+    ivfSearch(assigned, probes, k)
   }
 
   /** Embedding-cosine near-duplicate PAIRS, scale-safe: `bands`
