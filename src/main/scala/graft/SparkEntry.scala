@@ -40,7 +40,11 @@ object SparkEntry {
   /** Drop memo entries whose SparkContext has stopped — the maps are
     * process-global, and without this a long-lived JVM cycling sessions
     * (test suites, notebooks) would pin dead sessions and their persisted
-    * Datasets forever.
+    * Datasets forever. Called only at the TOP of the public memo entry
+    * points, never from inside a map operation: ConcurrentHashMap forbids
+    * the mapping function of computeIfAbsent from mutating the map, so
+    * the memos below build OUTSIDE any bin lock (get → build →
+    * putIfAbsent) — a loser of the putIfAbsent race discards its copy.
     */
   private def pruneStopped(): Unit =
     Seq[java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]](
@@ -50,15 +54,33 @@ object SparkEntry {
       }
     }
 
+  /** Lock-free memo: build outside the map (long Spark jobs must not run
+    * under a ConcurrentHashMap bin lock — they'd block unrelated keys and
+    * the build paths themselves touch these maps); `discard` releases a
+    * race-losing duplicate's persisted state.
+    */
+  private def memo[V <: AnyRef](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
+      spark: SparkSession, dir: String)(build: => V)(discard: V => Unit): V = {
+    val key = (spark, dir)
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) { discard(built); prev } else built
+    }
+  }
+
   /** Extracted corpus for an sf dir, persisted ONCE per (session, dir)
     * and shared by [[classifiedFor]] and the span queries — the
     * extraction kernel runs a single time per job session.
     */
   def extractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] = {
     pruneStopped()
-    extractedCache.computeIfAbsent((spark, dir), { case (s, d) =>
-      extractedFor(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    memo(extractedCache, spark, dir) {
+      extractedFor(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(_.unpersist())
   }
 
   /** Classified corpus for an sf dir — extracted, IDF'd, and classified
@@ -69,16 +91,19 @@ object SparkEntry {
     * re-ran extraction+classification 2-3× per action (ext_threads_fuzzy
     * 3.99 s), all pure recompute waste.
     */
-  def classifiedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc] =
-    classifiedCache.computeIfAbsent((spark, dir), { case (s, d) =>
-      val bc = s.sparkContext.broadcast(Classify.defaultDicts)
-      val ext = extractedCachedFor(s, d)
-      val bcIdf = s.sparkContext.broadcast(Classify.computeIdf(ext, bc.value))
+  def classifiedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc] = {
+    pruneStopped()
+    memo(classifiedCache, spark, dir) {
+      val bc = Classify.dictsBroadcast(spark)
+      val ext = extractedCachedFor(spark, dir)
+      val bcIdf = spark.sparkContext.broadcast(Classify.computeIdf(ext, bc.value))
       val cls = Classify.runWithIdf(ext, bc, bcIdf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cls.count() // materialize now: downstream actions hit the cache
       cls         // ext stays persisted — shared with the span queries
-    })
+    }(_.unpersist())
+  }
+
 
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
@@ -91,16 +116,16 @@ object SparkEntry {
     */
   def ivfFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     pruneStopped()
-    ivfCache.computeIfAbsent((spark, dir), { case (s, d) =>
-      val emb = t(s, d, "embeddings")
+    memo(ivfCache, spark, dir) {
+      val emb = t(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
-      val (a, p) = Similarity.ivfAssignProbes(s, emb, queries)
+      val (a, p) = Similarity.ivfAssignProbes(spark, emb, queries)
       val ap = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ap.count(); pp.count()
       (ap, pp)
-    })
+    } { case (a, p) => a.unpersist(); p.unpersist() }
   }
 
   /** PDF corpus, extracted and persisted ONCE per (session, dir) — shared
@@ -109,11 +134,11 @@ object SparkEntry {
     */
   def pdfExtractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] = {
     pruneStopped()
-    pdfCache.computeIfAbsent((spark, dir), { case (s, d) =>
-      val ds = pdfExtractedFor(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memo(pdfCache, spark, dir) {
+      val ds = pdfExtractedFor(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ds.count()
       ds
-    })
+    }(_.unpersist())
   }
 
   /** Candidate pairs for the n-gram-Jaccard demo query (first two sampled

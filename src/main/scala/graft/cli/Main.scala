@@ -1,6 +1,6 @@
 package graft.cli
 
-import graft.extract.Extract
+
 import graft.gloss.Classify
 import graft.model.Doc
 import graft.synth.Synth
@@ -43,6 +43,10 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable lineage cuts (spark.graft.checkpointDir) would otherwise
+      // accumulate checkpoint data forever — Spark only deletes them on
+      // RDD GC when this is on, and it must be set before context start
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,22 +78,26 @@ object Main {
     } + "\""
 
   /** Steady-state classification for the classify-consuming verbs: the
-    * corpus is extracted ONCE (persisted); with --out the token-DF table
-    * is written to `$out/_idf` on the first run and read back by every
-    * later run (resume included) — the reference's build-index-once flow
-    * (src/main.rs:89-95): steady-state classification is a single corpus
-    * scan, no per-job IDF recompute. Returns the persisted classified
-    * Dataset plus the broadcasts the checkpoint slices classify with
-    * (slices MUST reuse the global IDF — a per-slice DF table would score
-    * differently than the full corpus).
+    * corpus is extracted ONCE (persisted, Tungsten byte path); with --out
+    * the token-DF table is written to `$out/_idf` on the first run and
+    * read back by every later run (resume included) — the reference's
+    * build-index-once flow (src/main.rs:89-95): steady-state
+    * classification is a single corpus scan, no per-job IDF recompute.
+    * Returns the persisted classified Dataset (scored with the GLOBAL
+    * IDF — checkpointed sinks slice THESE rows rather than re-classifying
+    * per slice). Caller unpersists.
     */
   private def classifySteadyState(spark: SparkSession, docs: Dataset[Doc],
-      opts: Map[String, String]): (Dataset[graft.model.ClassifiedDoc],
-      org.apache.spark.broadcast.Broadcast[Classify.Dicts],
-      org.apache.spark.broadcast.Broadcast[graft.gloss.TokenIdf]) = {
+      opts: Map[String, String]): Dataset[graft.model.ClassifiedDoc] = {
     import org.apache.spark.storage.StorageLevel
-    val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
-    val extracted = Extract.run(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    // session-memoized dictionary broadcast (VERDICT r3 item 6) + the
+    // Tungsten byte-path extraction (VERDICT r3 item 2: ExtractSpansExpr
+    // beats the typed path 16-32% at 2M docs; the typed kernel remains
+    // the executable spec, ByteExtractSpec pins row equality)
+    val bc = Classify.dictsBroadcast(spark)
+    val extracted = graft.extract.ExtractSpansExpr.run(docs.toDF())
+      .as[graft.model.ExtractedDoc].persist(StorageLevel.MEMORY_AND_DISK)
     val idf = opts.get("out") match {
       case Some(out) =>
         val idfDir = s"$out/_idf"
@@ -97,9 +105,12 @@ object Main {
         // input fingerprint gates reuse: a persisted IDF from a DIFFERENT
         // corpus must not silently score this one. The fingerprint runs on
         // the (persisted) extracted cache — no extra corpus scan.
+        // coalesce: bit_xor aggregates to NULL on an empty extraction
+        // (e.g. every doc dropped by the language gate)
         val fp = {
           val r = extracted.toDF().agg(
-            count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("title_norm")))).head()
+            count(lit(1)),
+            coalesce(bit_xor(xxhash64(col("doc_id"), col("title_norm"))), lit(0L))).head()
           s"${r.getLong(0)}:${r.getLong(1)}"
         }
         val fresh = java.nio.file.Files.exists(fpFile) &&
@@ -118,7 +129,7 @@ object Main {
       .persist(StorageLevel.MEMORY_AND_DISK)
     classified.count() // materialize, then free the extraction cache
     extracted.unpersist()
-    (classified, bc, bcIdf)
+    classified
   }
 
   def run(spark: SparkSession, verb: String, opts: Map[String, String]): Unit = {
@@ -135,14 +146,19 @@ object Main {
         Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
       }
 
-    val extractT: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      df => Extract.run(df.as[Doc]).toDF()
-        .select(col("doc_id"), col("lang"), col("title_norm"), col("spans"))
-
     verb match {
       case "languages" =>
-        val extracted = Extract.run(docs)
-        writeOut(docs.toDF(), "doc_id", extractT)
+        // ONE extraction pass (expression path, persisted) feeds both the
+        // stdout collect and the checkpointed write — the table slices the
+        // EXTRACTED rows by doc_id, so no per-slice re-extraction
+        // (VERDICT r3 item 7; extraction is row-wise, so slicing the
+        // output by doc_id ≡ extracting doc_id-sliced input)
+        import org.apache.spark.storage.StorageLevel
+        val extracted = graft.extract.ExtractSpansExpr.run(docs.toDF())
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        writeOut(extracted
+          .select(col("doc_id"), col("lang"), col("title_norm"), col("spans")),
+          "doc_id", identity)
         // {"lang_code": "en", "articles": [...]}, then ru — printer.rs:6-62
         val byLang = extracted.select($"lang", $"doc_id")
           .as[(String, String)].groupByKey(_._1)
@@ -152,14 +168,17 @@ object Main {
           s"""{"lang_code": ${jsonStr(l)}, "articles": [${byLang.getOrElse(l, Array.empty[String]).map(jsonStr).mkString(", ")}]}"""
         }
         println(frames.mkString("[\n", ",\n", "\n]"))
+        extracted.unpersist()
 
       case "news" | "categories" =>
-        val (classified, bc, bcIdf) = classifySteadyState(spark, docs, opts)
-        // resume slices classify with the SAME persisted global IDF
-        writeOut(docs.toDF(), "doc_id", df =>
-          Classify.runWithIdf(Extract.run(df.as[Doc]), bc, bcIdf).toDF()
-            .select(col("doc_id"), col("lang"), col("title_norm"),
-              col("category"), col("is_news")))
+        val classified = classifySteadyState(spark, docs, opts)
+        // the table slices the PERSISTED classified rows (already scored
+        // with the global IDF) — classification runs once, not once for
+        // stdout plus once per commit unit
+        writeOut(classified.toDF()
+          .select(col("doc_id"), col("lang"), col("title_norm"),
+            col("category"), col("is_news")),
+          "doc_id", identity)
         if (verb == "news") {
           val ids = classified.filter(_.is_news).map(_.doc_id)
             .take(MaxCliRows).sorted
@@ -181,7 +200,7 @@ object Main {
         val t0 = System.nanoTime()
         val nInput = docs.count()
         val t1 = System.nanoTime()
-        val (classified, _, _) = classifySteadyState(spark, docs, opts)
+        val classified = classifySteadyState(spark, docs, opts)
         val nKept = classified.count()
         val t2 = System.nanoTime()
         val byLang = classified.groupByKey(_.lang).count().collect().toMap
@@ -199,15 +218,28 @@ object Main {
         classified.unpersist()
 
       case "threads" | "top" =>
-        // two-stage at scale: persist classified once, then cluster; commit
-        // units slice by title hash, so clusters never cross units
-        val (classified, _, _) = classifySteadyState(spark, docs, opts)
-        // --fuzzy true → token-Jaccard near-title clustering (threadsFuzzy)
-        val th =
-          if (opts.get("fuzzy").contains("true")) Threads.threadsFuzzy(classified)
-          else Threads.threads(classified)
-        writeOut(classified.toDF(), "title_norm",
-          df => Threads.threads(df.as[graft.model.ClassifiedDoc]))
+        // two-stage at scale: persist classified once, then cluster.
+        // Exact: commit units slice by title hash (clusters = title
+        // groups, so they never cross units). Fuzzy: components CROSS
+        // title slices, so the global component id is computed FIRST and
+        // commit units slice by it — stdout and the table now come from
+        // the SAME clustering (VERDICT r3 item 3: the old sink silently
+        // wrote exact-title threads under --fuzzy).
+        val classified = classifySteadyState(spark, docs, opts)
+        val fuzzyKeyed =
+          if (opts.get("fuzzy").contains("true"))
+            Some(Threads.fuzzyKeyed(classified.toDF())
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          else None
+        val th = fuzzyKeyed match {
+          case Some(keyed) =>
+            writeOut(keyed, "component", df => Threads.threadsFromKeyed(df))
+            Threads.threadsFromKeyed(keyed)
+          case None =>
+            writeOut(classified.toDF(), "title_norm",
+              df => Threads.threads(df.as[graft.model.ClassifiedDoc]))
+            Threads.threads(classified)
+        }
         if (verb == "threads") {
           val rows = Threads.ranked(th)
             .select($"title_norm", $"articles")
@@ -231,6 +263,7 @@ object Main {
           }
           println(frames.mkString("[\n", ",\n", "\n]"))
         }
+        fuzzyKeyed.foreach(_.unpersist())
         classified.unpersist()
     }
   }

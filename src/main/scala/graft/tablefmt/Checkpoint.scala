@@ -15,6 +15,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   out/data/part_bucket=K/  (parquet files; one directory per commit unit)
   *   out/_manifest/part-K.json  (sealed AFTER unit K's data commit)
+  *   out/_staged/part_bucket=K/ (bucketed input staging; removed on success)
   * }}}
   *
   * The input is split into `buckets` commit units by a stable hash of the
@@ -84,9 +85,35 @@ object Checkpoint {
       StandardCopyOption.ATOMIC_MOVE) // seal = atomic rename
   }
 
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+
   /** Write `transform(input-slice)` per commit unit, skipping committed
     * units. `input` must contain `keyCol`; `transform` maps a unit's rows
     * to the output rows for that unit.
+    *
+    * Scan protocol (VERDICT r3 item 1): the uncommitted slices are STAGED
+    * once — one full input scan, bucketed into `part_bucket=K` partition
+    * directories under `$out/_staged` — so every per-unit read below is a
+    * partition-pruned directory read. The per-unit lineage fingerprints
+    * come from ONE two-column pass over the staged keys. A fresh N-bucket
+    * run therefore scans the input exactly once (ResumeSpec asserts this
+    * with an input-side accumulator); the previous form filtered the
+    * un-staged input on the DERIVED bucket column per unit — no pruning
+    * possible — costing 2·buckets full scans, which at the documented
+    * 100-1000 units for 10^12 docs was 200-2000 corpus reads. The staging
+    * dir is removed once every planned unit commits; a killed run leaves
+    * it behind, and the next resume() re-stages the still-uncommitted
+    * buckets from the CURRENT input (same drift semantics as before —
+    * committed units are protected by their sealed manifests, and
+    * [[validateCommitted]] remains the opt-in drift audit).
+    *
+    * Rows round-trip through parquet during staging; input column types
+    * must be parquet-representable (true for every source this engine
+    * reads — parquet/Iceberg tables in, parquet out).
     *
     * @param failAtUnit      test-only failpoint: throw before committing
     *                        this unit (simulates a killed spark-submit)
@@ -102,19 +129,38 @@ object Checkpoint {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = committedUnits(out)
     val planned = (0 until buckets).filterNot(done)
-    val withBucket = input.withColumn("part_bucket", bucketOf(keyCol, buckets))
+    if (planned.isEmpty) return WriteReport(planned, done.toSeq.sorted, Nil)
+
+    // stage the uncommitted slices: the ONE full input scan of this call
+    val stagedDir = s"$out/_staged"
+    input.withColumn("part_bucket", bucketOf(keyCol, buckets))
+      .filter(col("part_bucket").isin(planned: _*))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part_bucket")
+      .parquet(stagedDir)
+    // explicit schema: empty slices leave no files to infer from, and the
+    // partition column must come back as int, not inferred
+    val stagedSchema = org.apache.spark.sql.types.StructType(
+      input.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "part_bucket", org.apache.spark.sql.types.IntegerType))
+    val staged = spark.read.schema(stagedSchema).parquet(stagedDir)
+
+    // per-unit lineage fingerprints (XOR of key hashes — order/partition
+    // independent, overflow-free) + counts: one keyCol-only columnar pass
+    // over the staged slices, collected to O(buckets) driver rows
+    val fps: Map[Int, (Long, Long)] = staged
+      .groupBy(col("part_bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("fpxor"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
 
     def runUnit(k: Int): Int = {
       if (failAtUnit.contains(k))
         throw new RuntimeException(s"failpoint: killed before unit $k")
       val t0 = System.nanoTime()
-      val slice = withBucket.filter(col("part_bucket") === k)
-      // lineage: fingerprint of the unit's input keys (XOR of hashes —
-      // order/partitioning independent, overflow-free) + count, one pass
-      val fp = slice.agg(
-        count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("fpxor")).head()
-      val nInput = fp.getLong(0)
+      val (nInput, fpxor) = fps.getOrElse(k, (0L, 0L))
+      val slice = staged.filter(col("part_bucket") === k) // pruned dir read
       val outRows = transform(slice.drop("part_bucket"))
         .withColumn("part_bucket", lit(k))
       outRows.write.mode(SaveMode.Overwrite)
@@ -123,7 +169,7 @@ object Checkpoint {
       val nOutput = spark.read.parquet(s"$out/data")
         .filter(col("part_bucket") === k).count()
       val attempt = 1 // committed manifests are never re-attempted
-      sealManifest(out, UnitManifest(k, fp.getLong(1), nInput, nOutput,
+      sealManifest(out, UnitManifest(k, fpxor, nInput, nOutput,
         (System.nanoTime() - t0) / 1000000, attempt, "committed"))
       k
     }
@@ -138,6 +184,7 @@ object Checkpoint {
         try Await.result(Future.sequence(planned.map(k => Future(runUnit(k)))), Duration.Inf)
         finally pool.shutdown()
       }
+    deleteRecursively(Paths.get(stagedDir)) // every planned unit committed
     WriteReport(planned, done.toSeq.sorted, committed.sorted)
   }
 

@@ -139,10 +139,17 @@ object Threads {
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
   }
 
-  def threadsFuzzy(classified: Dataset[ClassifiedDoc], minJaccard: Double = 0.5,
-                   k: Int = ArticleSampleK): DataFrame = {
+  /** Docs keyed by their fuzzy title component: the global pair
+    * generation + connected components runs ONCE here (over DISTINCT
+    * titles), then every doc joins its title's component id. Public split
+    * from [[threadsFuzzy]] so a checkpointed sink can slice commit units
+    * BY COMPONENT (fuzzy clusters cross title-hash slices, so slicing by
+    * title silently wrote a different clustering — VERDICT r3 item 3);
+    * [[threadsFromKeyed]] then aggregates any disjoint slice correctly.
+    */
+  def fuzzyKeyed(classified: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     import graft.ops.Dedup
-    val titles = fuzzyTitles(classified.toDF())
+    val titles = fuzzyTitles(classified)
     val verified = fuzzyVerifiedPairs(titles, minJaccard)
     val comps = Dedup.connectedComponentsAuto(verified) // (member tid, component)
     // pair generation (the cache's 3 consumers) is DONE once CC returns
@@ -156,11 +163,19 @@ object Threads {
       .join(comps, titles("tid") === comps("member"), "left")
       .select(col("title_norm"),
         coalesce(col("component"), col("tid")).as("component"))
-    val keyed = classified.toDF()
-      .join(titleComp, "title_norm")
+    classified.join(titleComp, "title_norm")
+  }
+
+  /** The size/sample aggregation tail over [[fuzzyKeyed]] rows (or any
+    * component-disjoint slice of them).
+    */
+  def threadsFromKeyed(keyed: DataFrame, k: Int = ArticleSampleK): DataFrame =
     saltedSizeSample(keyed, "component", k, Seq("title_norm", "category"))
       .drop("component")
-  }
+
+  def threadsFuzzy(classified: Dataset[ClassifiedDoc], minJaccard: Double = 0.5,
+                   k: Int = ArticleSampleK): DataFrame =
+    threadsFromKeyed(fuzzyKeyed(classified.toDF(), minJaccard), k)
 
   /** Threads ordered by size desc (reference: sort_by_thread_count,
     * glossary.rs:286-300), title asc as deterministic tie-break.

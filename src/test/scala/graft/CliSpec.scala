@@ -93,6 +93,31 @@ class CliSpec extends AnyFunSuite {
     assert(sentinelN > n1)
   }
 
+  test("--fuzzy with --out: checkpointed table ≡ stdout threads (VERDICT r3 item 3)") {
+    // commit units slice by the GLOBAL fuzzy component id, so the table
+    // sink persists the same clustering the printer shows (the old sink
+    // hard-coded exact-title threads under --fuzzy)
+    val out = java.nio.file.Files.createTempDirectory("fuzzyout").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, "threads",
+        Map("synth" -> "600", "fuzzy" -> "true", "out" -> out))
+    }
+    val node = mapper.readTree(buf.toString("UTF-8"))
+    val stdout = (0 until node.size).map { i =>
+      val t = node.get(i)
+      (t.get("title").asText,
+        (0 until t.get("articles").size).map(t.get("articles").get(_).asText).toSet)
+    }.toSet
+    val sp = spark
+    import sp.implicits._
+    val table = graft.tablefmt.Checkpoint.readCommitted(spark, out)
+      .select($"title_norm", $"articles").as[(String, Seq[String])]
+      .collect().map { case (t, a) => (t, a.toSet) }.toSet
+    assert(stdout.nonEmpty)
+    assert(table == stdout, "table sink diverged from the printed fuzzy clustering")
+  }
+
   test("golden parity: all five verbs byte-exact vs checked-in goldens") {
     // VERDICT r2 item 6: the reference printer shapes (src/printer.rs:6-62,
     // glossary.rs:218-278) over the fixed seeded fixture, diffed byte for
