@@ -20,10 +20,16 @@ import graft.model.Span
   *    `TJ` arrays (shows), literal `(…)` strings with the full escape
   *    table (octal, \n\r\t\b\f, delimiters, line continuations) and
   *    hex `<…>` strings;
-  *  - string bytes decode as UTF-8 (synth PDFs and the modern
-  *    text-extraction case); font /Encoding & CMap indirection is out of
-  *    scope — a real-corpus run would plug a cmap table into
-  *    [[decodeString]];
+  *  - string bytes decode per the font selected by `Tf`: a font with a
+  *    `/ToUnicode` CMap stream (`beginbfchar`/`beginbfrange`, scalar and
+  *    array ranges, 1- or 2-byte codes) decodes through the CMap; else
+  *    `/Encoding /WinAnsiEncoding` (= windows-1252) or
+  *    `/MacRomanEncoding` byte tables; else UTF-8 (the synth default).
+  *    Font discovery is a lenient object pre-pass: `N G obj << … >>`
+  *    headers are scanned for `/Type /Font` dicts and `/Font << /Fx N 0
+  *    R >>` resource groups — name→font mapping is file-global
+  *    (last-wins), not per-page; base-encoding *Differences* arrays and
+  *    CID descendant fonts remain out of scope;
   *  - `Do` placements are emitted as image spans in document order with
   *    `media_ref` = the XObject name (resource-dict indirection is not
   *    resolved — the NAME is the stable reference within the page).
@@ -56,9 +62,48 @@ object PdfScanner {
   private final case class TextBlock(text: String, maxFont: Double) extends Event
   private final case class ImageRef(name: String) extends Event
 
-  private def extractImpl(bytes: Array[Byte]): SpanEmitter.Result = {
+  // ---- per-font string decoders -------------------------------------
+
+  private[graft] sealed trait Decoder
+  private[graft] case object Utf8Dec extends Decoder
+  private[graft] case object WinAnsiDec extends Decoder
+  private[graft] case object MacRomanDec extends Decoder
+  private[graft] final case class CMapDec(codeLen: Int,
+      map: java.util.HashMap[Integer, String]) extends Decoder
+
+  // WinAnsiEncoding is windows-1252 (java.base); MacRomanEncoding lives
+  // in the jdk.charsets module — present in a full JDK, so fall back to
+  // ISO-8859-1 only on stripped runtimes (documented best-effort)
+  private val winAnsiCs = java.nio.charset.Charset.forName("windows-1252")
+  private val macRomanCs =
+    try java.nio.charset.Charset.forName("x-MacRoman")
+    catch { case _: Throwable => java.nio.charset.StandardCharsets.ISO_8859_1 }
+
+  private[graft] def decodeString(s: Array[Byte], dec: Decoder): String = dec match {
+    case Utf8Dec     => new String(s, java.nio.charset.StandardCharsets.UTF_8)
+    case WinAnsiDec  => new String(s, winAnsiCs)
+    case MacRomanDec => new String(s, macRomanCs)
+    case CMapDec(len, m) =>
+      val sb = new java.lang.StringBuilder(s.length / len + 1)
+      var i = 0
+      while (i + len <= s.length) {
+        var code = 0
+        var k = 0
+        while (k < len) { code = (code << 8) | (s(i + k) & 0xff); k += 1 }
+        val t = m.get(code)
+        sb.append(if (t != null) t else "�") // unmapped code
+        i += len
+      }
+      sb.toString // a trailing partial code is dropped
+  }
+
+  /** Decoded per-stream payloads in document order, with the owning
+    * object number (-1 when the stream has no parseable `N G obj`
+    * header — damaged input stays usable as anonymous content).
+    */
+  private def decodeStreams(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])] = {
     val n = bytes.length
-    val events = new scala.collection.mutable.ArrayBuffer[Event]
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]
     var i = 0
     while (i < n) {
       val sPos = indexOf(bytes, "stream", i)
@@ -93,12 +138,58 @@ object PdfScanner {
         if (!hasOtherFilter && dataEnd > dataStart) {
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val data = if (dict.contains("/FlateDecode")) inflate(raw) else raw
-          if (data != null && looksLikeContent(data))
-            parseContent(data, events)
+          if (data != null)
+            out += ((objNumBefore(bytes, if (dictStart >= 0) dictStart else sPos), data))
         }
         i = if (endPos < 0) n else math.max(endPos + 9, dataEnd)
       }
     }
+    out
+  }
+
+  private def extractImpl(bytes: Array[Byte]): SpanEmitter.Result = {
+    // encoding pre-pass: object dicts → font resources + per-font decoder
+    val objDicts = scanObjectDicts(bytes)
+    val fontNameToObj = new java.util.HashMap[String, Integer]()
+    val fontEnc = new java.util.HashMap[Integer, (String, Int)]() // obj → (/Encoding name, /ToUnicode obj or -1)
+    val toUniObjs = new java.util.HashSet[Integer]()
+    objDicts.foreach { case (num, d) =>
+      fontResourceRefs(d).foreach { case (name, obj) => fontNameToObj.put(name, obj) }
+      if (FontTypeRe.findFirstIn(d).isDefined) {
+        val enc = EncodingRe.findFirstMatchIn(d).map(_.group(1)).getOrElse("")
+        val toUni = ToUnicodeRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1)
+        fontEnc.put(num, (enc, toUni))
+        if (toUni >= 0) toUniObjs.add(toUni)
+      }
+    }
+
+    // stream pass: CMap streams feed font decoders, the rest is content
+    val streams = decodeStreams(bytes)
+    val cmapByObj = new java.util.HashMap[Integer, CMapDec]()
+    val contentStreams = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    streams.foreach { case (objNum, data) =>
+      if (objNum >= 0 && toUniObjs.contains(objNum) &&
+          (hasToken(data, "beginbfchar") || hasToken(data, "beginbfrange")))
+        cmapByObj.put(objNum, parseCMap(data))
+      else if (looksLikeContent(data)) contentStreams += data
+    }
+    val fontMap = new java.util.HashMap[String, Decoder]()
+    fontNameToObj.forEach { (name, obj) =>
+      val info = fontEnc.get(obj)
+      if (info != null) {
+        val (enc, toUni) = info
+        val dec =
+          if (toUni >= 0 && cmapByObj.containsKey(toUni)) cmapByObj.get(toUni)
+          else if (enc == "WinAnsiEncoding") WinAnsiDec
+          else if (enc == "MacRomanEncoding") MacRomanDec
+          else Utf8Dec
+        fontMap.put(name, dec)
+      }
+    }
+
+    val events = new scala.collection.mutable.ArrayBuffer[Event]
+    contentStreams.foreach(parseContent(_, events, fontMap))
+
     // layout: title = first block in the largest font
     val texts = events.collect { case t: TextBlock => t }
     val title =
@@ -111,6 +202,190 @@ object PdfScanner {
       case ImageRef(name)  => spans(o) = Span("image", "", name, o); o += 1
     }
     SpanEmitter.Result(spans, title)
+  }
+
+  private val FontTypeRe = """/Type\s*/Font""".r
+  private val EncodingRe = """/Encoding\s*/(\w+)""".r
+  private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+  private val FontRefRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** `(name → object number)` pairs from a dict's `/Font << … >>`
+    * resource group, if any.
+    */
+  private[graft] def fontResourceRefs(dict: String): Seq[(String, Int)] = {
+    val at = dict.indexOf("/Font")
+    if (at < 0) return Nil
+    val open = dict.indexOf("<<", at)
+    if (open < 0) return Nil
+    var depth = 0
+    var i = open
+    var end = -1
+    while (i + 1 < dict.length && end < 0) {
+      if (dict(i) == '<' && dict(i + 1) == '<') { depth += 1; i += 2 }
+      else if (dict(i) == '>' && dict(i + 1) == '>') {
+        depth -= 1; i += 2; if (depth == 0) end = i
+      } else i += 1
+    }
+    if (end < 0) end = dict.length
+    FontRefRe.findAllMatchIn(dict.substring(open, end))
+      .map(m => m.group(1) -> m.group(2).toInt).toSeq
+  }
+
+  /** All `N G obj << … >>` definitions: (object number, dict text).
+    * Token-delimited `obj` scan (so `endobj` never matches), forward
+    * balanced dict parse — lenient: malformed headers are skipped, the
+    * never-throw contract holds.
+    */
+  private[graft] def scanObjectDicts(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Int, String)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]
+    val n = bytes.length
+    var from = 0
+    while (from < n) {
+      val p = indexOf(bytes, "obj", from)
+      if (p < 0) return out
+      val beforeOk = p == 0 || isDelim(bytes(p - 1))
+      val afterOk = p + 3 >= n || isDelim(bytes(p + 3))
+      if (beforeOk && afterOk) {
+        val num = objNumBefore(bytes, p + 3) // pos just past the keyword
+        var j = p + 3
+        while (j < n && (bytes(j) == ' ' || bytes(j) == '\r' || bytes(j) == '\n' || bytes(j) == '\t')) j += 1
+        if (num >= 0 && j + 1 < n && bytes(j) == '<' && bytes(j + 1) == '<') {
+          var depth = 0
+          var i = j
+          var end = -1
+          while (i + 1 < n && end < 0) {
+            if (bytes(i) == '<' && bytes(i + 1) == '<') { depth += 1; i += 2 }
+            else if (bytes(i) == '>' && bytes(i + 1) == '>') {
+              depth -= 1; i += 2; if (depth == 0) end = i
+            } else i += 1
+          }
+          if (end > j)
+            out += ((num, new String(bytes, j, end - j, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        }
+      }
+      from = p + 3
+    }
+    out
+  }
+
+  /** Object number of the `N G obj` header whose dict/stream begins at
+    * `pos` (scanning backward over `obj`, generation, number); -1 when no
+    * well-formed header precedes it.
+    */
+  private[graft] def objNumBefore(bytes: Array[Byte], pos: Int): Int = {
+    var i = pos - 1
+    def skipWs(): Unit =
+      while (i >= 0 && (bytes(i) == ' ' || bytes(i) == '\r' || bytes(i) == '\n' || bytes(i) == '\t')) i -= 1
+    skipWs()
+    // "obj"
+    if (i < 2 || bytes(i) != 'j' || bytes(i - 1) != 'b' || bytes(i - 2) != 'o') return -1
+    i -= 3
+    skipWs()
+    // generation digits
+    val genEnd = i
+    while (i >= 0 && bytes(i) >= '0' && bytes(i) <= '9') i -= 1
+    if (i == genEnd) return -1
+    skipWs()
+    // object number digits
+    val numEnd = i
+    var num = 0L
+    var mul = 1L
+    while (i >= 0 && bytes(i) >= '0' && bytes(i) <= '9' && mul <= 1000000000L) {
+      num += (bytes(i) - '0') * mul; mul *= 10; i -= 1
+    }
+    if (i == numEnd || num > Int.MaxValue) -1 else num.toInt
+  }
+
+  /** Parse a `/ToUnicode` CMap stream: `beginbfchar` pairs and
+    * `beginbfrange` triples (scalar `<lo> <hi> <dstStart>` — dst's last
+    * UTF-16 unit increments across the range — and array `<lo> <hi>
+    * [<d0> <d1> …]` forms). Code width (1 or 2 bytes) comes from the
+    * first src operand; expansion is capped at 65536 mappings (bomb
+    * guard). Dst hex decodes as UTF-16BE (multi-unit targets allowed).
+    */
+  private[graft] def parseCMap(data: Array[Byte]): CMapDec = {
+    val map = new java.util.HashMap[Integer, String]()
+    var codeLen = 0
+    val n = data.length
+    var i = 0
+    var mode = 0 // 0 outside, 1 bfchar, 2 bfrange
+    val ops = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    var arr: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+    val MaxMappings = 65536
+
+    def hexVal(b: Array[Byte]): Int = {
+      var v = 0
+      var k = 0
+      while (k < b.length && k < 4) { v = (v << 8) | (b(k) & 0xff); k += 1 }
+      v
+    }
+    def dstStr(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    def noteCodeLen(src: Array[Byte]): Unit =
+      if (codeLen == 0 && src.nonEmpty) codeLen = math.min(src.length, 2)
+    def put(code: Int, s: String): Unit =
+      if (map.size < MaxMappings) map.put(code, s)
+
+    def onHex(s: Array[Byte]): Unit = {
+      if (arr != null) { arr += s; return }
+      mode match {
+        case 1 =>
+          ops += s
+          if (ops.length == 2) {
+            noteCodeLen(ops(0))
+            put(hexVal(ops(0)), dstStr(ops(1)))
+            ops.clear()
+          }
+        case 2 =>
+          ops += s
+          if (ops.length == 3) {
+            noteCodeLen(ops(0))
+            val lo = hexVal(ops(0)); val hi = hexVal(ops(1))
+            val base = dstStr(ops(2))
+            var c = lo
+            while (c <= hi && c - lo < MaxMappings && base.nonEmpty) {
+              put(c, base.substring(0, base.length - 1) +
+                (base.charAt(base.length - 1) + (c - lo)).toChar)
+              c += 1
+            }
+            ops.clear()
+          }
+        case _ => ()
+      }
+    }
+
+    while (i < n) {
+      val b = data(i)
+      if (b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0 || b == '\f') i += 1
+      else if (b == '%') { while (i < n && data(i) != '\n' && data(i) != '\r') i += 1 }
+      else if (b == '<' && !(i + 1 < n && data(i + 1) == '<')) {
+        val (s, nx) = hexString(data, i)
+        onHex(s); i = nx
+      } else if (b == '[') { arr = new scala.collection.mutable.ArrayBuffer; i += 1 }
+      else if (b == ']') {
+        if (arr != null && mode == 2 && ops.length == 2) {
+          noteCodeLen(ops(0))
+          val lo = hexVal(ops(0))
+          arr.zipWithIndex.foreach { case (d, k) => put(lo + k, dstStr(d)) }
+          ops.clear()
+        }
+        arr = null; i += 1
+      } else {
+        val start = i
+        var j = i
+        while (j < n && !isDelim(data(j)) && data(j) != '%') j += 1
+        if (j == start) j += 1
+        new String(data, start, j - start, java.nio.charset.StandardCharsets.ISO_8859_1) match {
+          case "beginbfchar"  => mode = 1; ops.clear()
+          case "endbfchar"    => mode = 0; ops.clear()
+          case "beginbfrange" => mode = 2; ops.clear()
+          case "endbfrange"   => mode = 0; ops.clear()
+          case _              => () // codespace bounds, names, numbers — noise here
+        }
+        i = j
+      }
+    }
+    CMapDec(if (codeLen == 0) 1 else codeLen, map)
   }
 
   /** A decoded stream is treated as page content iff it carries a BT
@@ -217,7 +492,8 @@ object PdfScanner {
 
   // ---- content-stream interpreter -----------------------------------
 
-  private def parseContent(d: Array[Byte], events: scala.collection.mutable.ArrayBuffer[Event]): Unit = {
+  private def parseContent(d: Array[Byte], events: scala.collection.mutable.ArrayBuffer[Event],
+                           fontMap: java.util.HashMap[String, Decoder]): Unit = {
     val n = d.length
     var i = 0
     var inText = false
@@ -229,12 +505,13 @@ object PdfScanner {
     var lastString: Array[Byte] = null
     val arrStrings = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     var inArray = false
+    var curDec: Decoder = Utf8Dec // until a Tf selects a known font
 
     def newline(): Unit =
       if (block.length() > 0 && block.charAt(block.length() - 1) != ' ') block.append(' ')
 
     def show(s: Array[Byte]): Unit = if (inText && s != null) {
-      block.append(new String(s, java.nio.charset.StandardCharsets.UTF_8))
+      block.append(decodeString(s, curDec))
       if (fontSize > blockMaxFont) blockMaxFont = fontSize
     }
 
@@ -249,7 +526,10 @@ object PdfScanner {
     def op(name: String): Unit = name match {
       case "BT" => endBlock(); inText = true
       case "ET" => endBlock()
-      case "Tf" => fontSize = lastNumber
+      case "Tf" =>
+        fontSize = lastNumber
+        val dec = fontMap.get(lastName) // /Fx SIZE Tf — lastName is the font
+        curDec = if (dec != null) dec else Utf8Dec
       case "Td" | "TD" | "T*" | "Tm" => newline()
       case "Tj" => show(lastString)
       case "'"  => newline(); show(lastString)

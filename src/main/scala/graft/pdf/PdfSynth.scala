@@ -17,7 +17,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *  - multi-line paragraphs via `Td`/`TD`/`T*`/`'` line moves;
   *  - 0-2 interleaved image placements (`/ImN Do`);
   *  - en / ru (UTF-8 Cyrillic in strings) / dropped docs (all-decorative
-  *    text in a confusable language, failing the en/ru gate).
+  *    text in a confusable language, failing the en/ru gate);
+  *  - string encodings (VERDICT r3 item 4): UTF-8 (default), WinAnsi
+  *    (`/Encoding /WinAnsiEncoding`, cp1252 bytes incl. the 0x80-0x9F
+  *    zone via an em-dash and accented Latin — en docs only, cp1252
+  *    carries no Cyrillic), and a 2-byte `/ToUnicode` CMap (custom codes
+  *    for space + a-z + а-я declared via beginbfchar + two beginbfrange
+  *    runs — en and ru docs).
   */
 object PdfSynth {
 
@@ -53,7 +59,17 @@ object PdfSynth {
       else if (langRoll < 224) (RuWords, "ru")
       else (EsWords, "es") // dropped by the en/ru whitelist
     val flate = (mix(h + 2) & 1L) == 0L
-    val hexStrings = (mix(h + 3) & 3L) == 0L // hex strings can't carry escapes
+    // string encoding: 0 = UTF-8, 2 = WinAnsi (en only — cp1252 carries
+    // no Cyrillic; a ru WinAnsi roll falls back to UTF-8), 3 = 2-byte
+    // ToUnicode CMap codes. Dropped-language docs stay UTF-8.
+    val encRoll = (mix(h + 9) & 3L).toInt
+    val encMode =
+      if (lang == "es") 0
+      else if (encRoll == 2 && lang == "en") 2
+      else if (encRoll == 3) 3
+      else 0
+    // encoded modes always use hex strings (codes are raw bytes)
+    val hexStrings = encMode != 0 || (mix(h + 3) & 3L) == 0L // hex strings can't carry escapes
     val nParas = 1 + (mix(h + 4) & 3L).toInt // 1-4
     val nImages = (mix(h + 5) % 3).toInt.abs  // 0-2
 
@@ -72,10 +88,22 @@ object PdfSynth {
     val escPara = !hexStrings && (mix(h + 8) & 3L) == 0L
 
     val content = new StringBuilder
-    def str(s: String): String =
-      if (hexStrings)
+    // CMap code table (encMode 3): space + a-z + а-я — everything the
+    // word pools and title lead can produce. The PDF-side CMap below
+    // declares EXACTLY these codes, so scanner↔generator stay in lockstep.
+    def cmapCode(c: Char): Int =
+      if (c == ' ') 0x0001
+      else if (c >= 'a' && c <= 'z') 0x0200 + (c - 'a')
+      else if (c >= 'а' && c <= 'я') 0x0300 + (c - 'а')
+      else 0 // never produced by the generator's text
+    def str(s: String): String = encMode match {
+      case 2 => // WinAnsi: cp1252 bytes as a hex string
+        "<" + s.getBytes("windows-1252").map(b => f"${b & 0xff}%02x").mkString + ">"
+      case 3 => // 2-byte custom codes as a hex string
+        "<" + s.map(c => f"${cmapCode(c)}%04x").mkString + ">"
+      case _ if hexStrings =>
         "<" + s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString + ">"
-      else {
+      case _ =>
         val esc = s.flatMap {
           case '\\' => "\\\\"
           case '('  => "\\("
@@ -83,7 +111,7 @@ object PdfSynth {
           case c    => c.toString
         }
         "(" + esc + ")"
-      }
+    }
     content.append(s"BT /F1 24 Tf 72 720 Td ${str(title)} Tj ET\n")
     val expectedTexts = new scala.collection.mutable.ArrayBuffer[String]
     expectedTexts += title
@@ -93,6 +121,10 @@ object PdfSynth {
       lines.zipWithIndex.foreach { case (line, l) =>
         val text =
           if (escPara && p == 0 && l == 0) s"(paren) \\ qq A" // A arrives via octal \101; 'qq' is in no language profile
+          // WinAnsi docs carry accented Latin + an em-dash (cp1252 0x97,
+          // the 0x80-0x9F zone where cp1252 ≠ Latin-1): gibberish tokens
+          // in no LangId profile, so the en vote is untouched
+          else if (encMode == 2 && p == 0 && l == 0) line + " zürq—ölwë"
           else line
         val encoded =
           if (escPara && p == 0 && l == 0 && !hexStrings)
@@ -166,7 +198,34 @@ object PdfSynth {
       (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
     bos.write(contentBytes)
     w("\nendstream\nendobj\n")
-    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      (if (encMode == 2) " /Encoding /WinAnsiEncoding" else "") +
+      (if (encMode == 3) " /ToUnicode 7 0 R" else "") +
+      " >> endobj\n")
+    if (encMode == 3) {
+      // the ToUnicode CMap stream declaring the custom 2-byte codes:
+      // one bfchar (space) + two bfrange runs (a-z, а-я)
+      val cmap = ("/CIDInit /ProcSet findresource begin\n" +
+        "begincmap\n/CMapName /GraftUni def\n" +
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n" +
+        "1 beginbfchar\n<0001> <0020>\nendbfchar\n" +
+        "2 beginbfrange\n<0200> <0219> <0061>\n<0300> <031f> <0430>\nendbfrange\n" +
+        "endcmap\nend\n").getBytes("UTF-8")
+      val cmapBytes =
+        if (flate) {
+          val def_ = new java.util.zip.Deflater()
+          def_.setInput(cmap); def_.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+          def_.end()
+          out.toByteArray
+        } else cmap
+      w(s"7 0 obj << /Length ${cmapBytes.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      bos.write(cmapBytes)
+      w("\nendstream\nendobj\n")
+    }
     // a tiny (non-content) image stream: bytes chosen with no BT/Do tokens
     if (nImages > 0) {
       val imgData = Array.tabulate[Byte](16)(k => (mix(h + 500 + k) & 0x3f).toByte)

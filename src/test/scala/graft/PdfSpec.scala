@@ -58,6 +58,53 @@ class PdfSpec extends AnyFunSuite {
     assert(hex("<41 2>").toSeq == Seq('A'.toByte, 0x20.toByte)) // odd tail pads low nibble
   }
 
+  /** Minimal one-page PDF with a parameterized font dict + extra objects. */
+  private def miniPdf(fontExtra: String, content: String, extraObjs: String = ""): Array[Byte] = {
+    val cb = content.getBytes(UTF_8)
+    ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${cb.length} >>\nstream\n" + content + "\nendstream\nendobj\n" +
+      s"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica $fontExtra >> endobj\n" +
+      extraObjs + "%%EOF\n").getBytes(UTF_8)
+  }
+
+  test("WinAnsiEncoding: cp1252 bytes decode, incl. the 0x80-0x9F zone (VERDICT r3 item 4)") {
+    val txt = "zürq—ölwë café" // — is 0x97: cp1252 ≠ Latin-1 there
+    val hexs = "<" + txt.getBytes("windows-1252").map(b => f"${b & 0xff}%02x").mkString + ">"
+    val got = PdfScanner.extract(
+      miniPdf("/Encoding /WinAnsiEncoding", s"BT /F1 12 Tf $hexs Tj ET"))
+    assert(got.title == txt)
+    // the same bytes WITHOUT the encoding entry are NOT valid UTF-8 —
+    // the table genuinely did the work
+    val raw = PdfScanner.extract(miniPdf("", s"BT /F1 12 Tf $hexs Tj ET"))
+    assert(raw.title != txt)
+  }
+
+  test("/ToUnicode CMap: bfchar, scalar bfrange, array bfrange, unmapped codes") {
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange <0000> <ffff> endcodespacerange\n" +
+      "1 beginbfchar <0001> <0020> endbfchar\n" +
+      "1 beginbfrange <0100> <0119> <0430> endbfrange\n" + // а + k (scalar run)
+      "1 beginbfrange <0200> <0201> [<0058> <0059>] endbfrange\n" + // X, Y (array form)
+      "endcmap\n"
+    val extra = s"7 0 obj << /Length ${cmap.getBytes(UTF_8).length} >>\nstream\n" +
+      cmap + "\nendstream\nendobj\n"
+    // codes: б(0x0101) space(0x0001) X(0x0200) Y(0x0201); second block: unmapped
+    val content = "BT /F1 12 Tf <0101 0001 0200 0201> Tj ET\n" +
+      "BT /F1 10 Tf <0300> Tj ET"
+    val got = PdfScanner.extract(miniPdf("/ToUnicode 7 0 R", content, extra))
+    assert(got.title == "б XY")
+    assert(got.spans.length == 2)
+    assert(got.spans(1).text == "�") // unmapped code → replacement, not silence
+  }
+
+  test("synth corpus exercises both encoded-font modes (generator↔scanner lockstep guard)") {
+    val pdfs = (0 until 800).map(i =>
+      new String(PdfSynth.gen(42L, i).pdf, java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(pdfs.count(_.contains("/WinAnsiEncoding")) > 30)
+    assert(pdfs.count(_.contains("/ToUnicode")) > 60)
+  }
+
   test("layout title heuristic: largest font wins, first on ties") {
     val content =
       "BT /F1 10 Tf (small opener text) Tj ET\n" +
