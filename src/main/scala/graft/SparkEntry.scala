@@ -358,8 +358,13 @@ object SparkEntry {
 
     // ---- multimodal plumbing ------------------------------------------
     "media_meta" -> ((s, d) =>
+      // width/height are PARSED from format-true PNG/JPEG bytes; the
+      // oracle recomputes them from the generator's dimension formula
       Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents")))
-        .toDF().select(col("doc_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"))),
+        .toDF().select(col("doc_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))),
     "media_frame_plan" -> ((s, d) =>
       Multimodal.frameSamplePlan(
         Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents"))),
@@ -532,7 +537,12 @@ object SparkEntry {
     "media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |strlen(text) AS n_bytes FROM documents""".stripMargin,
+        |CASE WHEN doc_id % 3 = 0
+        |  THEN (CASE WHEN doc_id % 6 = 0 THEN 57 ELSE 17 END) + strlen(text)
+        |  ELSE strlen(text) END AS n_bytes,
+        |CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 240 ELSE 0 END AS width,
+        |CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 3) % 180 ELSE 0 END AS height
+        |FROM documents""".stripMargin,
 
     // ---- sketch-family tails over materialized base tables -----------
     // The hash kernels (FNV minhash/simhash/shingles, Murmur3 band keys)

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in batched mapPartitions.
   *
-  * The decode step is a DETERMINISTIC STUB (this container has no
-  * image/audio codecs — see the builder contract): `decodeStub` derives
-  * pseudo width/height/duration from a stable hash of the bytes. The
-  * Spark-side plumbing — schema, batching, partitioning, output shape —
-  * is real and is what these ops exercise. Swapping `decodeStub` for a
-  * JNI/codec call is a one-function change.
+  * Image metadata is REAL (VERDICT r3 item 5): payloads are format-true
+  * PNG (signature + IHDR/IDAT/IEND chunks with valid CRCs) and JPEG
+  * (SOI + SOF0 marker walk) byte streams, and [[parseImageMeta]] decodes
+  * width/height from the BYTES — a plain-JDK header parse, no codec
+  * needed. Full pixel decode and video/audio codecs remain environment-
+  * blocked; video frame counts still come from the deterministic
+  * [[decodeStub]] (documented stub). The Spark-side plumbing — schema,
+  * batching, partitioning, output shape — is real throughout.
   */
 object Multimodal {
 
@@ -28,8 +30,8 @@ object Multimodal {
     h
   }
 
-  /** STUB decode: real codecs are absent in this sandbox; metadata is a
-    * pure function of the payload so tests are deterministic.
+  /** STUB decode for the codec-blocked kinds (video frame count): pure
+    * function of the payload so tests are deterministic.
     */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
     val h = checksum(payload)
@@ -39,29 +41,138 @@ object Multimodal {
     (w, ht, frames)
   }
 
-  /** Build a media table from the documents table (payload = utf-8 bytes
-    * of text — a stand-in binary column with realistic size distribution).
+  // ---- format-true image byte synthesis -----------------------------
+
+  /** Deterministic image dimensions per doc — also the ORACLE formula
+    * (SQL-expressible): width = 16 + id % 240, height = 16 + (id/3) % 180.
+    * The parquet oracle verifies the PARSED dims against this formula.
+    */
+  def imageDims(id: Long): (Int, Int) =
+    (16 + (id % 240).toInt, 16 + ((id / 3) % 180).toInt)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length); bb.put(t); bb.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Minimal valid-layout PNG: signature, IHDR (8-bit grayscale), one
+    * IDAT carrying `body`, IEND — all chunk CRCs real.
+    * Total size = 57 + body.length.
+    */
+  def pngBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w); ihdr.putInt(h)
+    ihdr.put(8.toByte); ihdr.put(0.toByte) // bit depth 8, grayscale
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    sig ++ pngChunk("IHDR", ihdr.array()) ++ pngChunk("IDAT", body) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  /** Minimal valid-layout JPEG: SOI, SOF0 (baseline, 1 grayscale
+    * component) carrying the dims, entropy body, EOI.
+    * Total size = 17 + body.length.
+    */
+  def jpegBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(17 + body.length)
+    out.write(0xFF); out.write(0xD8) // SOI
+    out.write(0xFF); out.write(0xC0) // SOF0
+    out.write(0x00); out.write(0x0B) // segment length = 11
+    out.write(8)                     // precision
+    out.write((h >> 8) & 0xff); out.write(h & 0xff)
+    out.write((w >> 8) & 0xff); out.write(w & 0xff)
+    out.write(1)                     // 1 component
+    out.write(1); out.write(0x11); out.write(0) // id, sampling, quant
+    out.write(body, 0, body.length)
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---- real JDK-only header parsers ---------------------------------
+
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** PNG: signature + IHDR-first rule → (width, height) at fixed offsets
+    * (CRCs not validated — a metadata read, not an integrity check).
+    */
+  def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG: SOI then a marker walk to the first SOF0-SOF15 frame header
+    * (skipping C4/C8/CC which are not frames); stops at SOS/EOI.
+    */
+  def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xFF) return None
+      var m = b(i + 1) & 0xff
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff } // fill bytes
+      if (m == 0xD9 || m == 0xDA) return None // EOI / start-of-scan: no frame header seen
+      val len = be16(b, i + 2)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5))) else None
+      }
+      if (len < 2) return None
+      i += 2 + len
+    }
+    None
+  }
+
+  /** Real image metadata: format sniff + header parse → (w, h). */
+  def parseImageMeta(b: Array[Byte]): Option[(Int, Int)] =
+    parsePng(b).orElse(parseJpeg(b))
+
+  /** Build a media table from the documents table. Images get FORMAT-TRUE
+    * bytes (even ids PNG, odd JPEG; dims from [[imageDims]]; text bytes
+    * ride along as the body for a realistic size distribution); audio and
+    * video stay opaque text-byte stand-ins (codecs are environment-
+    * blocked).
     */
   def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val body = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            val (w, h) = imageDims(id)
+            MediaRow(id, "image",
+              if (id % 6 == 0) pngBytes(w, h, body) else jpegBytes(w, h, body))
+          case 1 => MediaRow(id, "audio", body)
+          case _ => MediaRow(id, "video", body)
         }
-        MediaRow(id, kind, if (text == null) Array.empty else text.getBytes("UTF-8"))
       }
   }
 
   /** Feature-extract pass: batched mapPartitions over binary payloads →
     * typed metadata. This is the shape a real decode/resize/frame-sample
     * stage runs in (executor-local, no shuffle, bounded memory per batch).
+    * Image width/height are PARSED from the bytes; audio/video report
+    * 0×0 (codec-blocked) with video frame counts from the stub.
     */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { row =>
-      val (w, h, f) = decodeStub(row.kind, row.payload)
+      val (w, h, f) = row.kind match {
+        case "image" =>
+          val (pw, ph) = parseImageMeta(row.payload).getOrElse((0, 0))
+          (pw, ph, 1)
+        case "audio" => (0, 0, 1)
+        case _       => (0, 0, decodeStub(row.kind, row.payload)._3)
+      }
       MediaMeta(row.doc_id, row.kind, row.payload.length,
         checksum(row.payload), w, h, f)
     })
@@ -79,7 +190,12 @@ object Multimodal {
   def resizeStub(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { row =>
-      val (w, h, _) = decodeStub(row.kind, row.payload)
+      val (w, h) =
+        if (row.kind == "image")
+          parseImageMeta(row.payload).getOrElse {
+            val s = decodeStub(row.kind, row.payload); (s._1, s._2)
+          }
+        else { val s = decodeStub(row.kind, row.payload); (s._1, s._2) }
       val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
       val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
       val outLen = math.max(8, (row.payload.length * scale * scale).toInt)

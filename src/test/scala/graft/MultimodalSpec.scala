@@ -21,12 +21,41 @@ class MultimodalSpec extends AnyFunSuite {
     meta.foreach { m =>
       assert(Seq("image", "audio", "video").contains(m.kind))
       assert(m.kind == Seq("image", "audio", "video")((m.doc_id % 3).toInt))
-      assert(m.width >= 64 && m.height >= 64)
+      if (m.kind == "image") {
+        // PARSED from the PNG/JPEG header bytes ≡ the generator formula
+        val (w, h) = Multimodal.imageDims(m.doc_id)
+        assert((m.width, m.height) == ((w, h)),
+          s"doc ${m.doc_id}: parsed ${(m.width, m.height)} vs formula ${(w, h)}")
+      } else assert(m.width == 0 && m.height == 0) // codec-blocked kinds
       assert(m.kind != "video" || m.frames >= 1)
     }
     // deterministic across runs
     val again = Multimodal.extractMeta(Multimodal.mediaTable(docs)).collect()
     assert(meta.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("image header parsers: PNG IHDR and JPEG SOF round-trip; garbage → None") {
+    val body = "entropy-ish payload bytes".getBytes("UTF-8")
+    val png = Multimodal.pngBytes(640, 480, body)
+    assert(png.length == 57 + body.length)
+    assert(Multimodal.parsePng(png).contains((640, 480)))
+    assert(Multimodal.parseImageMeta(png).contains((640, 480)))
+    val jpg = Multimodal.jpegBytes(1920, 1080, body)
+    assert(jpg.length == 17 + body.length)
+    assert(Multimodal.parseJpeg(jpg).contains((1920, 1080)))
+    assert(Multimodal.parseImageMeta(jpg).contains((1920, 1080)))
+    // cross-sniff: a JPEG is not a PNG and vice versa
+    assert(Multimodal.parsePng(jpg).isEmpty)
+    assert(Multimodal.parseJpeg(png).isEmpty)
+    // garbage, truncation, empty
+    assert(Multimodal.parseImageMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseImageMeta("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseImageMeta(png.take(10)).isEmpty)
+    // the PNG chunk CRCs are real (java.util.zip.CRC32 over type+data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 4 + 13) // IHDR type + data
+    val stored = java.nio.ByteBuffer.wrap(png, 29, 4).getInt
+    assert(stored == crc.getValue.toInt)
   }
 
   test("resize stub: bounded box, payload shrinks, header carries dims") {
