@@ -180,10 +180,15 @@ object ScalingBench {
     */
   def timePipeline(spark: SparkSession, dir: String): Double = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(graft.gloss.Classify.defaultDicts)
+    // session-memoized: re-broadcasting the 50.7k-term postings per
+    // pipeline job was measurable fixed cost at small corpora (VERDICT
+    // r3 item 6) — a production job classifies many slices per session
+    val bc = graft.gloss.Classify.dictsBroadcast(spark)
     val t0 = System.nanoTime()
+    // byte-path extraction — the user-facing default (VERDICT r3 item 2)
     val classified = graft.gloss.Classify.runCached(
-      Extract.run(spark.read.parquet(dir).as[Doc]), bc)
+      graft.extract.ExtractSpansExpr.run(spark.read.parquet(dir))
+        .as[graft.model.ExtractedDoc], bc)
     graft.threads.Threads.threads(classified).count()
     graft.threads.Threads.top(graft.threads.Threads.threads(classified)).count()
     val sec = (System.nanoTime() - t0) / 1e9

@@ -47,10 +47,13 @@ object BenchLarge {
     Bench.timeExtractParquetExpr(spark, pq)
     val exprSec = (1 to 3).map(_ => Bench.timeExtractParquetExpr(spark, pq)._2).min
 
-    // one-time steady-state build: extract + IDF + classify + persist
-    val bc = spark.sparkContext.broadcast(Classify.defaultDicts)
+    // one-time steady-state build: extract + IDF + classify + persist —
+    // extraction via the Tungsten byte path, the user-facing default
+    // (VERDICT r3 item 2); the typed path stays measured above
+    val bc = Classify.dictsBroadcast(spark)
     val (classified, classifyOnceSec) = time {
-      Classify.runCached(Extract.run(spark.read.parquet(pq).as[Doc]), bc)
+      Classify.runCached(graft.extract.ExtractSpansExpr
+        .run(spark.read.parquet(pq)).as[graft.model.ExtractedDoc], bc)
     }
 
     // the amortized query family over the persisted classified table

@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 final class Graft(val spark: SparkSession) {
 
   val dicts: Broadcast[Classify.Dicts] =
-    spark.sparkContext.broadcast(Classify.defaultDicts)
+    Classify.dictsBroadcast(spark) // session-memoized, shared across facades
 
   /** HTML → ordered spans + language gate (verbs build on this). */
   def extract(docs: Dataset[Doc]): Dataset[ExtractedDoc] = Extract.run(docs)

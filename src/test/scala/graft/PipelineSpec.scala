@@ -196,4 +196,34 @@ class PipelineSpec extends AnyFunSuite {
       s"corpus scanned ${acc.value} rows for $nDocs docs — more than one pass")
     classified.unpersist()
   }
+
+  test("languages-verb shape: ONE extraction feeds stdout AND the checkpointed table") {
+    import spark.implicits._
+    // VERDICT r3 item 7: the CLI languages verb persists the expression-
+    // path extraction once; the stdout collect and the Checkpoint write
+    // both consume the persisted rows (the table slices EXTRACTED rows by
+    // doc_id — extraction is row-wise, so that equals extracting sliced
+    // input). This mirrors cli.Main's languages branch statement for
+    // statement with an input-side accumulator.
+    val nDocs = 400L
+    val acc = spark.sparkContext.longAccumulator("corpus_rows_scanned")
+    val docs = Synth.corpus(spark, seed, nDocs)
+      .mapPartitions { it => it.map { d => acc.add(1); d } }
+    val extracted = graft.extract.ExtractSpansExpr.run(docs.toDF())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stdout side: the per-language id collect
+    val byLang = extracted.select($"lang", $"doc_id").as[(String, String)]
+      .collect().groupBy(_._1)
+    assert(byLang.keySet == Set("en", "ru"))
+    // table side: checkpointed write slicing the SAME persisted rows
+    val out = java.nio.file.Files.createTempDirectory("langsink").toString
+    graft.tablefmt.Checkpoint.resume(spark,
+      extracted.select($"doc_id", $"lang", $"title_norm", $"spans"),
+      "doc_id", identity, out, buckets = 4)
+    val table = graft.tablefmt.Checkpoint.readCommitted(spark, out)
+    assert(table.count() == extracted.count())
+    assert(acc.value == nDocs,
+      s"corpus scanned ${acc.value} rows for $nDocs docs — more than one extraction pass")
+    extracted.unpersist()
+  }
 }

@@ -83,6 +83,39 @@ class PlanSpec extends AnyFunSuite {
       p.contains("isnotnull(lang"), p.take(2000))
   }
 
+  test("Checkpoint staged slice read prunes to ONE part_bucket directory") {
+    // the r4 resume protocol: per-unit reads of $out/_staged must be
+    // partition-pruned directory reads, not scans — this is what turns
+    // 2·buckets full input passes into one
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("stagecheck").toString
+    val df = spark.range(1000).selectExpr("cast(id as string) as doc_id", "id % 8 as v")
+    df.withColumn("part_bucket", graft.tablefmt.Checkpoint.bucketOf("doc_id", 8))
+      .write.mode("overwrite").partitionBy("part_bucket").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "part_bucket", org.apache.spark.sql.types.IntegerType))
+    val q = spark.read.schema(schema).parquet(dir).filter(col("part_bucket") === 3)
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("part_bucket"), p.take(2000))
+    // executed-scan metric: only bucket 3's files were opened (collect
+    // drives the dataset's OWN QueryExecution — count() would build a
+    // separate aggregate plan and leave these metrics at zero)
+    q.collect()
+    def findScan(pl: org.apache.spark.sql.execution.SparkPlan): Option[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Some(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case other => other.children.view.flatMap(findScan).headOption
+    }
+    val scan = findScan(q.queryExecution.executedPlan)
+    assert(scan.isDefined)
+    val nFilesBucket3 = new java.io.File(dir, "part_bucket=3")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.get.metrics("numFiles").value == nFilesBucket3,
+      s"read ${scan.get.metrics("numFiles").value} files, bucket dir has $nFilesBucket3")
+  }
+
   test("kmeans centroid update aggregates with a map-side partial") {
     import spark.implicits._
     val vecs = spark.range(100)
