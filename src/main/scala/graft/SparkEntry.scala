@@ -358,13 +358,16 @@ object SparkEntry {
 
     // ---- multimodal plumbing ------------------------------------------
     "media_meta" -> ((s, d) =>
-      // width/height are PARSED from format-true PNG/JPEG bytes; the
-      // oracle recomputes them from the generator's dimension formula
+      // width/height/sample_rate/duration are PARSED from format-true
+      // PNG/JPEG/WAV bytes; the oracle recomputes them from the
+      // generator's parameter formulas
       Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents")))
         .toDF().select(col("doc_id"), col("kind"),
           col("n_bytes").cast("long").as("n_bytes"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"))),
+          col("height").cast("long").as("height"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms").cast("long").as("duration_ms"))),
     "media_frame_plan" -> ((s, d) =>
       Multimodal.frameSamplePlan(
         Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents"))),
@@ -539,9 +542,14 @@ object SparkEntry {
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |CASE WHEN doc_id % 3 = 0
         |  THEN (CASE WHEN doc_id % 6 = 0 THEN 57 ELSE 17 END) + strlen(text)
+        |  WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
         |  ELSE strlen(text) END AS n_bytes,
         |CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 240 ELSE 0 END AS width,
-        |CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 3) % 180 ELSE 0 END AS height
+        |CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 3) % 180 ELSE 0 END AS height,
+        |CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) ELSE 0 END AS sample_rate,
+        |CASE WHEN doc_id % 3 = 1
+        |  THEN strlen(text) * 1000 // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+        |  ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin,
 
     // ---- sketch-family tails over materialized base tables -----------

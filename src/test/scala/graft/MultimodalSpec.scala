@@ -27,6 +27,13 @@ class MultimodalSpec extends AnyFunSuite {
         assert((m.width, m.height) == ((w, h)),
           s"doc ${m.doc_id}: parsed ${(m.width, m.height)} vs formula ${(w, h)}")
       } else assert(m.width == 0 && m.height == 0) // codec-blocked kinds
+      if (m.kind == "audio") {
+        // PARSED from the WAV RIFF/fmt chunks ≡ the generator formula
+        val (rate, _) = Multimodal.audioParams(m.doc_id)
+        assert(m.sample_rate == rate,
+          s"doc ${m.doc_id}: parsed rate ${m.sample_rate} vs formula $rate")
+        assert(m.duration_ms >= 0)
+      } else assert(m.sample_rate == 0 && m.duration_ms == 0)
       assert(m.kind != "video" || m.frames >= 1)
     }
     // deterministic across runs
@@ -56,6 +63,21 @@ class MultimodalSpec extends AnyFunSuite {
     crc.update(png, 12, 4 + 13) // IHDR type + data
     val stored = java.nio.ByteBuffer.wrap(png, 29, 4).getInt
     assert(stored == crc.getValue.toInt)
+  }
+
+  test("WAV header parser: RIFF/fmt round-trip, duration arithmetic, garbage → None") {
+    val body = new Array[Byte](32000) // 1 s at 16 kHz mono 16-bit
+    val wav = Multimodal.wavBytes(16000, 1, body)
+    assert(wav.length == 44 + body.length)
+    assert(Multimodal.parseWav(wav).contains((1, 16000, 1000)))
+    // stereo halves the duration for the same byte count
+    assert(Multimodal.parseWav(Multimodal.wavBytes(16000, 2, body)).contains((2, 16000, 500)))
+    // truncated data chunk: duration reflects the bytes actually present
+    val cut = Multimodal.wavBytes(16000, 1, body).take(44 + 16000)
+    assert(Multimodal.parseWav(cut).contains((1, 16000, 500)))
+    assert(Multimodal.parseWav("RIFFnope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseWav(Multimodal.pngBytes(4, 4, body)).isEmpty)
   }
 
   test("resize stub: bounded box, payload shrinks, header carries dims") {
