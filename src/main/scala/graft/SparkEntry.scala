@@ -30,58 +30,23 @@ object SparkEntry {
     Synth.extracted(spark, seed = 42L, nDocs = n)
   }
 
+  // Session-scoped persisted-dataset memos (shared SessionMemo helper —
+  // lock-free build + stopped-session pruning, see graft.util.SessionMemo)
   private val extractedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]]()
+    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]](_._1)(_.unpersist())
   private val classifiedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]]()
+    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]](_._1)(_.unpersist())
   private val pdfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]]()
-
-  /** Drop memo entries whose SparkContext has stopped — the maps are
-    * process-global, and without this a long-lived JVM cycling sessions
-    * (test suites, notebooks) would pin dead sessions and their persisted
-    * Datasets forever. Called only at the TOP of the public memo entry
-    * points, never from inside a map operation: ConcurrentHashMap forbids
-    * the mapping function of computeIfAbsent from mutating the map, so
-    * the memos below build OUTSIDE any bin lock (get → build →
-    * putIfAbsent) — a loser of the putIfAbsent race discards its copy.
-    */
-  private def pruneStopped(): Unit =
-    Seq[java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]](
-      extractedCache, classifiedCache, pdfCache, ivfCache).foreach { m =>
-      m.keySet.removeIf { case (s, _) =>
-        try s.sparkContext.isStopped catch { case _: Throwable => true }
-      }
-    }
-
-  /** Lock-free memo: build outside the map (long Spark jobs must not run
-    * under a ConcurrentHashMap bin lock — they'd block unrelated keys and
-    * the build paths themselves touch these maps); `discard` releases a
-    * race-losing duplicate's persisted state.
-    */
-  private def memo[V <: AnyRef](
-      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
-      spark: SparkSession, dir: String)(build: => V)(discard: V => Unit): V = {
-    val key = (spark, dir)
-    val existing = cache.get(key)
-    if (existing != null) existing
-    else {
-      val built = build
-      val prev = cache.putIfAbsent(key, built)
-      if (prev != null) { discard(built); prev } else built
-    }
-  }
+    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]](_._1)(_.unpersist())
 
   /** Extracted corpus for an sf dir, persisted ONCE per (session, dir)
     * and shared by [[classifiedFor]] and the span queries — the
     * extraction kernel runs a single time per job session.
     */
-  def extractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] = {
-    pruneStopped()
-    memo(extractedCache, spark, dir) {
+  def extractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] =
+    extractedCache.getOrBuild((spark, dir)) {
       extractedFor(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }(_.unpersist())
-  }
+    }
 
   /** Classified corpus for an sf dir — extracted, IDF'd, and classified
     * exactly ONCE per (session, dir), persisted, and shared by every
@@ -91,9 +56,8 @@ object SparkEntry {
     * re-ran extraction+classification 2-3× per action (ext_threads_fuzzy
     * 3.99 s), all pure recompute waste.
     */
-  def classifiedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc] = {
-    pruneStopped()
-    memo(classifiedCache, spark, dir) {
+  def classifiedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc] =
+    classifiedCache.getOrBuild((spark, dir)) {
       val bc = Classify.dictsBroadcast(spark)
       val ext = extractedCachedFor(spark, dir)
       val bcIdf = spark.sparkContext.broadcast(Classify.computeIdf(ext, bc.value))
@@ -101,12 +65,13 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cls.count() // materialize now: downstream actions hit the cache
       cls         // ext stays persisted — shared with the span queries
-    }(_.unpersist())
-  }
+    }
 
 
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new graft.util.SessionMemo[(SparkSession, String), (DataFrame, DataFrame)](_._1)({
+      case (a, p) => a.unpersist(); p.unpersist()
+    })
 
   /** IVF index (corpus assignments + query probe lists), trained ONCE per
     * (session, dir) and persisted — the build-once/search-many serving
@@ -114,9 +79,8 @@ object SparkEntry {
     * base dump and the ann_ivf_topk query sharing one training only saves
     * the second Lloyd's run, never changes rows.
     */
-  def ivfFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    pruneStopped()
-    memo(ivfCache, spark, dir) {
+  def ivfFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.getOrBuild((spark, dir)) {
       val emb = t(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
@@ -125,21 +89,18 @@ object SparkEntry {
       val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ap.count(); pp.count()
       (ap, pp)
-    } { case (a, p) => a.unpersist(); p.unpersist() }
-  }
+    }
 
   /** PDF corpus, extracted and persisted ONCE per (session, dir) — shared
     * by both pdf_* queries and Verify's base dump (generation is pure, so
     * sharing only saves work, never changes rows).
     */
-  def pdfExtractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] = {
-    pruneStopped()
-    memo(pdfCache, spark, dir) {
+  def pdfExtractedCachedFor(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.ExtractedDoc] =
+    pdfCache.getOrBuild((spark, dir)) {
       val ds = pdfExtractedFor(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ds.count()
       ds
-    }(_.unpersist())
-  }
+    }
 
   /** Candidate pairs for the n-gram-Jaccard demo query (first two sampled
     * members of each minhash band bucket) — shared with Verify's oracle

@@ -96,8 +96,12 @@ object Main {
     // beats the typed path 16-32% at 2M docs; the typed kernel remains
     // the executable spec, ByteExtractSpec pins row equality)
     val bc = Classify.dictsBroadcast(spark)
-    val extracted = graft.extract.ExtractSpansExpr.run(docs.toDF())
-      .as[graft.model.ExtractedDoc].persist(StorageLevel.MEMORY_AND_DISK)
+    // classify-only extraction (ExtractTitleExpr): same kernel/gate as
+    // the full expression but spans are never even materialized — the
+    // classify verbs read only (doc_id, lang, title_norm). The languages
+    // verb, which does need spans, runs the full expression itself.
+    val extracted = graft.extract.ExtractTitleExpr.run(docs.toDF())
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = opts.get("out") match {
       case Some(out) =>
         val idfDir = s"$out/_idf"
@@ -108,7 +112,7 @@ object Main {
         // coalesce: bit_xor aggregates to NULL on an empty extraction
         // (e.g. every doc dropped by the language gate)
         val fp = {
-          val r = extracted.toDF().agg(
+          val r = extracted.agg(
             count(lit(1)),
             coalesce(bit_xor(xxhash64(col("doc_id"), col("title_norm"))), lit(0L))).head()
           s"${r.getLong(0)}:${r.getLong(1)}"
@@ -117,15 +121,15 @@ object Main {
           java.nio.file.Files.readString(fpFile).trim == fp &&
           new java.io.File(idfDir, "_SUCCESS").exists
         if (!fresh) {
-          Classify.dfTable(extracted, bc.value)
+          Classify.dfTableSlim(extracted, bc.value)
             .coalesce(1).write.mode("overwrite").parquet(idfDir)
           java.nio.file.Files.writeString(fpFile, fp)
         }
         Classify.idfFromTable(spark.read.parquet(idfDir))
-      case None => Classify.computeIdf(extracted, bc.value)
+      case None => Classify.idfFromTable(Classify.dfTableSlim(extracted, bc.value))
     }
     val bcIdf = spark.sparkContext.broadcast(idf)
-    val classified = Classify.runWithIdf(extracted, bc, bcIdf)
+    val classified = Classify.runWithIdfSlim(extracted, bc, bcIdf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     classified.count() // materialize, then free the extraction cache
     extracted.unpersist()

@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.html.StreamEmitter
+import graft.html.{SpanEmitter, StreamEmitter}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -37,7 +37,85 @@ case class ExtractSpansExpr(child: Expression)
   override def prettyName: String = "extract_spans"
   override protected def withNewChildInternal(c: Expression): ExtractSpansExpr = copy(c)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    ExtractSpansExpr.evalCore(input) match {
+      case null => null
+      case (lang, titleNorm, res) =>
+        val spanRows = new Array[Any](res.spans.length)
+        var nText = 0
+        var nMedia = 0
+        var s = 0
+        while (s < res.spans.length) {
+          val sp = res.spans(s)
+          if (sp.kind == "text") nText += 1
+          else if (sp.kind == "image" || sp.kind == "embed") nMedia += 1
+          spanRows(s) = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(sp.kind),
+            UTF8String.fromString(sp.text),
+            UTF8String.fromString(sp.media_ref),
+            sp.offset))
+          s += 1
+        }
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(lang),
+          UTF8String.fromString(titleNorm),
+          new GenericArrayData(spanRows),
+          nText, nMedia))
+    }
+}
+
+/** Title/lang-only twin of [[ExtractSpansExpr]]: runs the IDENTICAL
+  * machine (same fuse, same ByteScanner+StreamEmitter, same gate — the
+  * shared [[ExtractSpansExpr.evalCore]]) but materializes only
+  * `(lang, title_norm)`, skipping the span-array output serialization.
+  * This is the classify-only extraction shape: classification never
+  * reads spans, and at 2M docs the span UTF8String/row construction is
+  * measurable. Kept/dropped decisions and titles are identical to the
+  * full expression BY CONSTRUCTION (one code path; ByteExtractSpec
+  * additionally asserts projection equality on the synth corpus).
+  */
+case class ExtractTitleExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ExtractTitleExpr.OutType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_title"
+  override protected def withNewChildInternal(c: Expression): ExtractTitleExpr = copy(c)
+
+  override def nullSafeEval(input: Any): Any =
+    ExtractSpansExpr.evalCore(input) match {
+      case null => null
+      case (lang, titleNorm, _) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(lang), UTF8String.fromString(titleNorm)))
+    }
+}
+
+object ExtractTitleExpr {
+  val OutType: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("title_norm", StringType, nullable = false)))
+
+  def extract_title(c: Column): Column =
+    GraftColumnBridge.column(ExtractTitleExpr(GraftColumnBridge.expression(c)))
+
+  /** (doc_id, lang, title_norm) — the slim classify-input extraction. */
+  def run(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), extract_title(col("spans")).as("_r"))
+      .filter(col("_r").isNotNull)
+      .select(col("doc_id"), col("_r.lang").as("lang"),
+        col("_r.title_norm").as("title_norm"))
+}
+
+object ExtractSpansExpr {
+  private[extract] val MediaKind = UTF8String.fromString("media")
+
+  /** The shared eval machine for both expressions: sort input spans by
+    * offset, fuse html bytes + media placeholders, run the byte
+    * scanner/emitter, apply the language gate. Returns null for dropped
+    * docs, else (lang, title_norm, emitter result).
+    */
+  private[extract] def evalCore(input: Any): (String, String, SpanEmitter.Result) = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
@@ -67,7 +145,7 @@ case class ExtractSpansExpr(child: Expression)
       val row = arr.getStruct(order(i).toInt, 4)
       if (row != null && !row.isNullAt(3)) {
         val kind = if (row.isNullAt(0)) null else row.getUTF8String(0)
-        if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) total += 33
+        if (kind != null && kind.equals(MediaKind)) total += 33
         else if (!row.isNullAt(1)) total += row.getUTF8String(1).numBytes()
       }
       i += 1
@@ -80,7 +158,7 @@ case class ExtractSpansExpr(child: Expression)
       val row = arr.getStruct(order(i).toInt, 4)
       val kind = if (row == null || row.isNullAt(0)) null else row.getUTF8String(0)
       if (row == null || row.isNullAt(3)) { /* skip null span element / null offset */ }
-      else if (kind != null && kind.equals(ExtractSpansExpr.MediaKind)) {
+      else if (kind != null && kind.equals(MediaKind)) {
         val ph = "<graft-media data-i=\"" + media.length + "\">"
         var k = 0
         while (k < ph.length) { buf(at) = ph.charAt(k).toByte; at += 1; k += 1 }
@@ -97,34 +175,10 @@ case class ExtractSpansExpr(child: Expression)
 
     val res = StreamEmitter.emitStreamingBytes(buf, at, media.toArray)
     Extract.gate(res) match {
-      case None => null
-      case Some((lang, titleNorm)) =>
-        val spanRows = new Array[Any](res.spans.length)
-        var nText = 0
-        var nMedia = 0
-        var s = 0
-        while (s < res.spans.length) {
-          val sp = res.spans(s)
-          if (sp.kind == "text") nText += 1
-          else if (sp.kind == "image" || sp.kind == "embed") nMedia += 1
-          spanRows(s) = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(sp.kind),
-            UTF8String.fromString(sp.text),
-            UTF8String.fromString(sp.media_ref),
-            sp.offset))
-          s += 1
-        }
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(lang),
-          UTF8String.fromString(titleNorm),
-          new GenericArrayData(spanRows),
-          nText, nMedia))
+      case None                     => null
+      case Some((lang, titleNorm)) => (lang, titleNorm, res)
     }
   }
-}
-
-object ExtractSpansExpr {
-  private[extract] val MediaKind = UTF8String.fromString("media")
 
   val SpanType: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = true),

@@ -68,27 +68,14 @@ object Classify {
   lazy val defaultDicts: Dicts = loadDicts()
 
   private val dictsBc =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Broadcast[Dicts]]()
+    new graft.util.SessionMemo[org.apache.spark.sql.SparkSession, Broadcast[Dicts]](identity)(_.destroy())
 
   /** The [[defaultDicts]] broadcast, created ONCE per session — the
     * 50.7k-term postings serialize to several MB, and re-broadcasting
-    * them per classify job is pure per-job fixed cost (VERDICT r3 item
-    * 6). Built OUTSIDE the map (ConcurrentHashMap mapping functions must
-    * not run long work under a bin lock); a putIfAbsent race loser
-    * destroys its duplicate.
+    * them per classify job is pure per-job fixed cost (VERDICT r3 item 6).
     */
-  def dictsBroadcast(spark: org.apache.spark.sql.SparkSession): Broadcast[Dicts] = {
-    dictsBc.keySet.removeIf { s =>
-      try s.sparkContext.isStopped catch { case _: Throwable => true }
-    }
-    val existing = dictsBc.get(spark)
-    if (existing != null) existing
-    else {
-      val built = spark.sparkContext.broadcast(defaultDicts)
-      val prev = dictsBc.putIfAbsent(spark, built)
-      if (prev != null) { built.destroy(); prev } else built
-    }
-  }
+  def dictsBroadcast(spark: org.apache.spark.sql.SparkSession): Broadcast[Dicts] =
+    dictsBc.getOrBuild(spark)(spark.sparkContext.broadcast(defaultDicts))
 
   /** Sentinel counted once per doc so N and the DF table come from ONE
     * aggregation pass (normTitle output never contains the NUL character).
@@ -102,18 +89,35 @@ object Classify {
     * via [[idfFromTable]] — that amortizes the DF scan, so steady-state
     * classification is back to ONE pass over the corpus.
     */
-  def dfTable(extracted: Dataset[ExtractedDoc], dicts: Dicts): org.apache.spark.sql.DataFrame = {
-    val spark = extracted.sparkSession
+  def dfTable(extracted: Dataset[ExtractedDoc], dicts: Dicts): org.apache.spark.sql.DataFrame =
+    dfTableSlim(slim(extracted), dicts)
+
+  /** Classification is a TITLE-level operation: the only columns it ever
+    * reads are (doc_id, lang, title_norm). This projection keeps span
+    * payloads — the bulk of an ExtractedDoc — out of the classify
+    * caches and out of the IDF/classify deserialization loops (r4: cut
+    * 2M-doc classify_once ~9.9→7.x s). Reading 3 columns from a cached
+    * full ExtractedDoc relation prunes columns at the InMemoryRelation,
+    * so sharing the full extraction cache stays cheap too.
+    */
+  private def slim(extracted: Dataset[ExtractedDoc]): org.apache.spark.sql.DataFrame =
+    extracted.toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("title_norm"))
+
+  /** [[dfTable]] over the slim (doc_id, lang, title_norm) projection. */
+  def dfTableSlim(slimDf: org.apache.spark.sql.DataFrame, dicts: Dicts): org.apache.spark.sql.DataFrame = {
+    val spark = slimDf.sparkSession
     import spark.implicits._
     val vocab = new java.util.HashSet[String]()
     dicts.themes.vocabulary.foreach(vocab.add)
     dicts.entities.vocabulary.foreach(vocab.add)
     val bcV = spark.sparkContext.broadcast(vocab)
-    extracted
+    slimDf.select($"title_norm").as[String]
       .mapPartitions { it =>
         val v = bcV.value
-        it.flatMap { doc =>
-          val toks = TitleKey.tokens(doc.title_norm).distinct.filter(v.contains)
+        it.flatMap { title =>
+          val toks = TitleKey.tokens(title).distinct.filter(v.contains)
           Iterator.single(DocSentinel) ++ toks.iterator
         }
       }
@@ -135,8 +139,12 @@ object Classify {
   def computeIdf(extracted: Dataset[ExtractedDoc], dicts: Dicts): TokenIdf =
     idfFromTable(dfTable(extracted, dicts))
 
-  def classifyOne(doc: ExtractedDoc, dicts: Dicts, idf: TokenIdf): ClassifiedDoc = {
-    val toks = TitleKey.tokens(doc.title_norm)
+  def classifyOne(doc: ExtractedDoc, dicts: Dicts, idf: TokenIdf): ClassifiedDoc =
+    classifyRow(doc.doc_id, doc.lang, doc.title_norm, dicts, idf)
+
+  def classifyRow(docId: String, lang: String, titleNorm: String,
+                  dicts: Dicts, idf: TokenIdf): ClassifiedDoc = {
+    val toks = TitleKey.tokens(titleNorm)
     val themeHits = dicts.themes.matchTokens(toks, idf)
       .filter { case (theme, hit) => hit.score >= Glossary.minScore(theme) }
     val entityHits = dicts.entities.matchTokens(toks, idf)
@@ -152,9 +160,9 @@ object Classify {
     }
     val category = CategoryRules.categorize(flag)
     ClassifiedDoc(
-      doc_id = doc.doc_id,
-      lang = doc.lang,
-      title_norm = doc.title_norm,
+      doc_id = docId,
+      lang = lang,
+      title_norm = titleNorm,
       category = category,
       is_news = CategoryRules.NewsCategories.contains(category),
       entities = entityHits.map { case (cls, hit) => cls -> Array(hit.word) }
@@ -177,27 +185,44 @@ object Classify {
     * at 10^12 rows multiplies the most expensive stage 2-3×.
     * Caller unpersists when done.
     */
-  def runCached(extracted: Dataset[ExtractedDoc], bc: Broadcast[Dicts]): Dataset[ClassifiedDoc] = {
+  def runCached(extracted: Dataset[ExtractedDoc], bc: Broadcast[Dicts]): Dataset[ClassifiedDoc] =
+    runCachedSlim(slim(extracted), bc)
+
+  /** [[runCached]] over a slim (doc_id, lang, title_norm) input — e.g.
+    * `ExtractTitleExpr.run` output, the classify-only extraction that
+    * never materializes spans at all.
+    */
+  def runCachedSlim(slimDf: org.apache.spark.sql.DataFrame, bc: Broadcast[Dicts]): Dataset[ClassifiedDoc] = {
     import org.apache.spark.storage.StorageLevel
-    val ext = extracted.persist(StorageLevel.MEMORY_AND_DISK)
-    val bcIdf = ext.sparkSession.sparkContext
-      .broadcast(computeIdf(ext, bc.value)) // materializes ext's cache
-    val out = runWithIdf(ext, bc, bcIdf).persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize from the ext cache, then free it
-    ext.unpersist()
+    // persist the SLIM projection, not the full ExtractedDoc: spans are
+    // never read by classification, and at 2M docs they are ~90% of the
+    // cache bytes and of the per-pass deserialization work
+    val slimCached = slimDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val bcIdf = slimDf.sparkSession.sparkContext
+      .broadcast(idfFromTable(dfTableSlim(slimCached, bc.value))) // materializes the cache
+    val out = runWithIdfSlim(slimCached, bc, bcIdf).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize from the slim cache, then free it
+    slimCached.unpersist()
     out
   }
 
   /** Classify with a PRE-COMPUTED idf (e.g. [[idfFromTable]] over a
-    * persisted [[dfTable]]) — one mapPartitions, one corpus scan.
+    * persisted [[dfTable]]) — one mapPartitions over the slim columns,
+    * one corpus scan (pruned to 3 columns when `extracted` is cached).
     */
   def runWithIdf(extracted: Dataset[ExtractedDoc], bc: Broadcast[Dicts],
-                 bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] = {
-    import extracted.sparkSession.implicits._
-    extracted.mapPartitions { it =>
+                 bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] =
+    runWithIdfSlim(slim(extracted), bc, bcIdf)
+
+  /** [[runWithIdf]] over the slim (doc_id, lang, title_norm) projection. */
+  def runWithIdfSlim(slimDf: org.apache.spark.sql.DataFrame, bc: Broadcast[Dicts],
+                     bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] = {
+    val spark = slimDf.sparkSession
+    import spark.implicits._
+    slimDf.as[(String, String, String)].mapPartitions { it =>
       val dicts = bc.value
       val idf = bcIdf.value
-      it.map(classifyOne(_, dicts, idf))
+      it.map { case (id, lang, title) => classifyRow(id, lang, title, dicts, idf) }
     }
   }
 }

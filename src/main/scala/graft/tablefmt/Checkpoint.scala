@@ -87,8 +87,10 @@ object Checkpoint {
 
   private def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(dir) // close the stream: it holds directory fds
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
     }
 
   /** Write `transform(input-slice)` per commit unit, skipping committed
@@ -129,10 +131,20 @@ object Checkpoint {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = committedUnits(out)
     val planned = (0 until buckets).filterNot(done)
-    if (planned.isEmpty) return WriteReport(planned, done.toSeq.sorted, Nil)
-
-    // stage the uncommitted slices: the ONE full input scan of this call
     val stagedDir = s"$out/_staged"
+    if (planned.isEmpty) {
+      // everything committed — also reap staging a crashed run may have
+      // left between its last sealManifest and its cleanup
+      deleteRecursively(Paths.get(stagedDir))
+      return WriteReport(planned, done.toSeq.sorted, Nil)
+    }
+
+    // stage the uncommitted slices: the ONE full input scan of this call.
+    // Clear any previous staging FIRST — dynamic partition overwrite only
+    // replaces partitions present in the CURRENT write, so a bucket that
+    // became empty in the current input would otherwise keep its stale
+    // directory from a crashed run and commit rows that no longer exist.
+    deleteRecursively(Paths.get(stagedDir))
     input.withColumn("part_bucket", bucketOf(keyCol, buckets))
       .filter(col("part_bucket").isin(planned: _*))
       .write.mode(SaveMode.Overwrite)

@@ -110,6 +110,18 @@ class ByteExtractSpec extends AnyFunSuite {
     assert(key(expr) == key(typed))
   }
 
+  test("ExtractTitleExpr.run ≡ ExtractSpansExpr.run projected (classify-only twin)") {
+    import spark.implicits._
+    val n = 3000L
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"lang", $"title_norm")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    val full = key(graft.extract.ExtractSpansExpr.run(Synth.corpus(spark, 42L, n).toDF()))
+    val slim = key(graft.extract.ExtractTitleExpr.run(Synth.corpus(spark, 42L, n).toDF()))
+    assert(slim == full)
+    assert(slim.nonEmpty)
+  }
+
   test("expression survives null spans columns and null span elements") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

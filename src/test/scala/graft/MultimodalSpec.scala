@@ -58,6 +58,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseImageMeta(Array.empty[Byte]).isEmpty)
     assert(Multimodal.parseImageMeta("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseImageMeta(png.take(10)).isEmpty)
+    // truncated tail of 0xFF fill bytes must return None, not throw
+    // (the fill-skip loop can advance past the outer bound — r4 review)
+    assert(Multimodal.parseJpeg(
+      Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE0).map(_.toByte)).isEmpty)
+    assert(Multimodal.parseJpeg(jpg.take(5)).isEmpty)
     // the PNG chunk CRCs are real (java.util.zip.CRC32 over type+data)
     val crc = new java.util.zip.CRC32()
     crc.update(png, 12, 4 + 13) // IHDR type + data

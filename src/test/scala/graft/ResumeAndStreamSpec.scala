@@ -75,6 +75,36 @@ class ResumeSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(out, "_staged")))
   }
 
+  test("stale staging from a crashed run never leaks old rows into new commits") {
+    // r4 review: dynamic partition overwrite only replaces partitions
+    // present in the CURRENT staging write, so a bucket that became
+    // EMPTY in the current input would keep its stale directory from the
+    // crashed attempt unless staging is cleared first
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("ckpt_stale").toString
+    intercept[RuntimeException] {
+      Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 8,
+        failAtUnit = Some(5)) // commits 0-4, leaves _staged/part_bucket=0..7
+    }
+    assert(Files.exists(java.nio.file.Paths.get(out, "_staged")))
+    // input drifts: EVERY row of (uncommitted) bucket 5 disappears
+    val bucketed = input.withColumn("b", Checkpoint.bucketOf("doc_id", 8))
+    val removed = bucketed.filter(col("b") === 5).select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(removed.nonEmpty)
+    val drifted = input.filter(!col("doc_id").isin(removed.toSeq: _*))
+    Checkpoint.resume(spark, drifted, "doc_id", transform, out, buckets = 8)
+    val committed = Checkpoint.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(committed.intersect(removed).isEmpty,
+      "rows deleted from the current input resurfaced from stale staging")
+    // fully-committed follow-up call also reaps any leftover staging
+    Files.createDirectories(java.nio.file.Paths.get(out, "_staged", "junk"))
+    val r = Checkpoint.resume(spark, drifted, "doc_id", transform, out, buckets = 8)
+    assert(r.unitsCommitted.isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_staged")))
+  }
+
   test("lineage audit: input drift after commit is detected") {
     import spark.implicits._
     val out = Files.createTempDirectory("ckpt4").toString
