@@ -214,15 +214,19 @@ object Classify {
                  bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] =
     runWithIdfSlim(slim(extracted), bc, bcIdf)
 
-  /** [[runWithIdf]] over the slim (doc_id, lang, title_norm) projection. */
+  /** [[runWithIdf]] over the slim (doc_id, lang, title_norm) projection.
+    * Columns bind BY NAME (a reordered but valid slim frame must not be
+    * silently misclassified through positional tuple binding).
+    */
   def runWithIdfSlim(slimDf: org.apache.spark.sql.DataFrame, bc: Broadcast[Dicts],
                      bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] = {
     val spark = slimDf.sparkSession
     import spark.implicits._
-    slimDf.as[(String, String, String)].mapPartitions { it =>
-      val dicts = bc.value
-      val idf = bcIdf.value
-      it.map { case (id, lang, title) => classifyRow(id, lang, title, dicts, idf) }
-    }
+    slimDf.select("doc_id", "lang", "title_norm")
+      .as[(String, String, String)].mapPartitions { it =>
+        val dicts = bc.value
+        val idf = bcIdf.value
+        it.map { case (id, lang, title) => classifyRow(id, lang, title, dicts, idf) }
+      }
   }
 }

@@ -175,6 +175,14 @@ object Checkpoint {
       val slice = staged.filter(col("part_bucket") === k) // pruned dir read
       val outRows = transform(slice.drop("part_bucket"))
         .withColumn("part_bucket", lit(k))
+      // clear THIS unit's unsealed output first: a crash between a
+      // previous attempt's data write and its sealManifest leaves a
+      // complete data/part_bucket=k, and dynamic partition overwrite
+      // replaces nothing when the current transform yields 0 rows for
+      // the bucket — the stale rows would be sealed as committed (same
+      // failure mode as stale staging; only ever an UNSEALED partition:
+      // sealed units are filtered out of `planned`)
+      deleteRecursively(Paths.get(s"$out/data/part_bucket=$k"))
       outRows.write.mode(SaveMode.Overwrite)
         .partitionBy("part_bucket")
         .parquet(s"$out/data")

@@ -105,6 +105,34 @@ class ResumeSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(out, "_staged")))
   }
 
+  test("unsealed output from a crashed unit is not resurrected when its input empties") {
+    // r4 review: a crash BETWEEN a unit's data write and its
+    // sealManifest leaves a complete data/part_bucket=k; if that
+    // bucket's input then drifts to empty, a 0-row dynamic-overwrite
+    // write replaces nothing — the stale rows must not be sealed as
+    // committed (and the (0,0) fingerprint would make the lineage audit
+    // blind to them)
+    import org.apache.spark.sql.functions.{col, lit}
+    val sp = spark
+    import sp.implicits._
+    val out = Files.createTempDirectory("ckpt_unsealed").toString
+    // simulate the crashed attempt: unit 5's output fully written, no manifest
+    Seq(("ghost-1", 7), ("ghost-2", 7))
+      .toDF("doc_id", "n").withColumn("part_bucket", lit(5))
+      .write.partitionBy("part_bucket").parquet(s"$out/data")
+    // current input has NO rows hashing to bucket 5
+    val bucketed = input.withColumn("b", Checkpoint.bucketOf("doc_id", 8))
+    val bucket5 = bucketed.filter(col("b") === 5).select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    val drifted = input.filter(!col("doc_id").isin(bucket5.toSeq: _*))
+    Checkpoint.resume(spark, drifted, "doc_id", transform, out, buckets = 8)
+    val committed = Checkpoint.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(!committed.contains("ghost-1") && !committed.contains("ghost-2"),
+      "unsealed rows from the crashed attempt were sealed as committed")
+    assert(committed == drifted.select("doc_id").collect().map(_.getString(0)).toSet)
+  }
+
   test("lineage audit: input drift after commit is detected") {
     import spark.implicits._
     val out = Files.createTempDirectory("ckpt4").toString
