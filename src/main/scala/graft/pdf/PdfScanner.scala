@@ -28,8 +28,12 @@ import graft.model.Span
   *    Font discovery is a lenient object pre-pass: `N G obj << … >>`
   *    headers are scanned for `/Type /Font` dicts and `/Font << /Fx N 0
   *    R >>` resource groups — name→font mapping is file-global
-  *    (last-wins), not per-page; base-encoding *Differences* arrays and
-  *    CID descendant fonts remain out of scope;
+  *    (last-wins), not per-page. Dict-form `/Encoding << /BaseEncoding
+  *    /X /Differences [ n /glyph … ] >>` builds a byte table with
+  *    per-code glyph overrides (common AGL names + `uniXXXX`; unknown
+  *    names → U+FFFD; missing BaseEncoding defaults to WinAnsi — the
+  *    font program's built-in encoding is unresolvable without the font
+  *    itself). CID descendant fonts remain out of scope;
   *  - `Do` placements are emitted as image spans in document order with
   *    `media_ref` = the XObject name (resource-dict indirection is not
   *    resolved — the NAME is the stable reference within the page).
@@ -70,6 +74,8 @@ object PdfScanner {
   private[graft] case object MacRomanDec extends Decoder
   private[graft] final case class CMapDec(codeLen: Int,
       map: java.util.HashMap[Integer, String]) extends Decoder
+  /** Byte→string table built from a base encoding + /Differences. */
+  private[graft] final case class ByteTableDec(table: Array[String]) extends Decoder
 
   // WinAnsiEncoding is windows-1252 (java.base); MacRomanEncoding lives
   // in the jdk.charsets module — present in a full JDK, so fall back to
@@ -83,6 +89,11 @@ object PdfScanner {
     case Utf8Dec     => new String(s, java.nio.charset.StandardCharsets.UTF_8)
     case WinAnsiDec  => new String(s, winAnsiCs)
     case MacRomanDec => new String(s, macRomanCs)
+    case ByteTableDec(table) =>
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) { sb.append(table(s(i) & 0xff)); i += 1 }
+      sb.toString
     case CMapDec(len, m) =>
       val sb = new java.lang.StringBuilder(s.length / len + 1)
       var i = 0
@@ -151,14 +162,13 @@ object PdfScanner {
     // encoding pre-pass: object dicts → font resources + per-font decoder
     val objDicts = scanObjectDicts(bytes)
     val fontNameToObj = new java.util.HashMap[String, Integer]()
-    val fontEnc = new java.util.HashMap[Integer, (String, Int)]() // obj → (/Encoding name, /ToUnicode obj or -1)
+    val fontEnc = new java.util.HashMap[Integer, (Decoder, Int)]() // obj → (base decoder, /ToUnicode obj or -1)
     val toUniObjs = new java.util.HashSet[Integer]()
     objDicts.foreach { case (num, d) =>
       fontResourceRefs(d).foreach { case (name, obj) => fontNameToObj.put(name, obj) }
       if (FontTypeRe.findFirstIn(d).isDefined) {
-        val enc = EncodingRe.findFirstMatchIn(d).map(_.group(1)).getOrElse("")
         val toUni = ToUnicodeRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1)
-        fontEnc.put(num, (enc, toUni))
+        fontEnc.put(num, (encodingDecoder(d), toUni))
         if (toUni >= 0) toUniObjs.add(toUni)
       }
     }
@@ -177,12 +187,10 @@ object PdfScanner {
     fontNameToObj.forEach { (name, obj) =>
       val info = fontEnc.get(obj)
       if (info != null) {
-        val (enc, toUni) = info
+        val (baseDec, toUni) = info
         val dec =
           if (toUni >= 0 && cmapByObj.containsKey(toUni)) cmapByObj.get(toUni)
-          else if (enc == "WinAnsiEncoding") WinAnsiDec
-          else if (enc == "MacRomanEncoding") MacRomanDec
-          else Utf8Dec
+          else baseDec
         fontMap.put(name, dec)
       }
     }
@@ -208,6 +216,119 @@ object PdfScanner {
   private val EncodingRe = """/Encoding\s*/(\w+)""".r
   private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val FontRefRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+  private val BaseEncodingRe = """/BaseEncoding\s*/(\w+)""".r
+  private val DiffTokenRe = """/([^\s/\[\]<>()]+)|(\d+)""".r
+
+  /** Common Adobe-Glyph-List names (the subset a Differences array in a
+    * Latin-text PDF actually uses) — plus `uniXXXX` names, handled in
+    * [[glyphToChar]]. Unknown names decode to U+FFFD, never silence.
+    */
+  private val glyphNames: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    def p(n: String, c: String): Unit = m.put(n, c)
+    // punctuation / symbols
+    p("space", " "); p("exclam", "!"); p("quotedbl", "\""); p("numbersign", "#")
+    p("dollar", "$"); p("percent", "%"); p("ampersand", "&"); p("quotesingle", "'")
+    p("parenleft", "("); p("parenright", ")"); p("asterisk", "*"); p("plus", "+")
+    p("comma", ","); p("hyphen", "-"); p("period", "."); p("slash", "/")
+    p("colon", ":"); p("semicolon", ";"); p("less", "<"); p("equal", "=")
+    p("greater", ">"); p("question", "?"); p("at", "@"); p("bracketleft", "[")
+    p("backslash", "\\"); p("bracketright", "]"); p("underscore", "_")
+    p("braceleft", "{"); p("bar", "|"); p("braceright", "}")
+    p("Euro", "€"); p("emdash", "—"); p("endash", "–"); p("bullet", "•")
+    p("quotedblleft", "“"); p("quotedblright", "”")
+    p("quoteleft", "‘"); p("quoteright", "’"); p("ellipsis", "…")
+    p("trademark", "™"); p("copyright", "©"); p("registered", "®")
+    p("degree", "°"); p("section", "§"); p("paragraph", "¶"); p("dagger", "†")
+    // digits
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine")
+    digits.zipWithIndex.foreach { case (n, i) => p(n, i.toString) }
+    // accented Latin (both cases where common)
+    p("agrave", "à"); p("aacute", "á"); p("acircumflex", "â"); p("adieresis", "ä")
+    p("egrave", "è"); p("eacute", "é"); p("ecircumflex", "ê"); p("edieresis", "ë")
+    p("igrave", "ì"); p("iacute", "í"); p("idieresis", "ï")
+    p("ograve", "ò"); p("oacute", "ó"); p("ocircumflex", "ô"); p("odieresis", "ö")
+    p("ugrave", "ù"); p("uacute", "ú"); p("ucircumflex", "û"); p("udieresis", "ü")
+    p("ccedilla", "ç"); p("ntilde", "ñ"); p("aring", "å"); p("oslash", "ø")
+    p("ae", "æ"); p("germandbls", "ß"); p("ydieresis", "ÿ")
+    p("Agrave", "À"); p("Aacute", "Á"); p("Adieresis", "Ä"); p("Eacute", "É")
+    p("Odieresis", "Ö"); p("Udieresis", "Ü"); p("Ccedilla", "Ç"); p("Ntilde", "Ñ")
+    m
+  }
+
+  /** Glyph name → text: single-char AGL names map to themselves,
+    * `uniXXXX` names decode their hex, the common-name table covers the
+    * rest; unknown → U+FFFD.
+    */
+  private[graft] def glyphToChar(name: String): String =
+    if (name.length == 1) name
+    else if (name.length >= 7 && name.startsWith("uni")) {
+      try String.valueOf(Integer.parseInt(name.substring(3, 7), 16).toChar)
+      catch { case _: Throwable => "�" }
+    } else {
+      val v = glyphNames.get(name)
+      if (v != null) v else "�"
+    }
+
+  private def byteTable(cs: java.nio.charset.Charset): Array[String] =
+    Array.tabulate(256)(i => new String(Array(i.toByte), cs))
+
+  /** The font's `/Encoding` entry → base (non-CMap) decoder:
+    *  - `/Encoding /WinAnsiEncoding` (or MacRoman) → byte table;
+    *  - `/Encoding << /BaseEncoding /X /Differences [ n /glyph … ] >>` →
+    *    base table with per-code glyph overrides (an integer resets the
+    *    code, each name assigns code++ — PDF 32000 §9.6.6); missing
+    *    BaseEncoding defaults to WinAnsi (documented subset: the font's
+    *    built-in encoding is not resolvable without the font program);
+    *  - absent/other → UTF-8 (the synth default).
+    */
+  private[graft] def encodingDecoder(dict: String): Decoder = {
+    val at = dict.indexOf("/Encoding")
+    if (at < 0) return Utf8Dec
+    var i = at + 9
+    while (i < dict.length && (dict(i) == ' ' || dict(i) == '\r' || dict(i) == '\n' || dict(i) == '\t')) i += 1
+    if (i < dict.length && dict(i) == '/') {
+      EncodingRe.findFirstMatchIn(dict.substring(at)).map(_.group(1)).getOrElse("") match {
+        case "WinAnsiEncoding"  => WinAnsiDec
+        case "MacRomanEncoding" => MacRomanDec
+        case _                  => Utf8Dec
+      }
+    } else if (i + 1 < dict.length && dict(i) == '<' && dict(i + 1) == '<') {
+      // balanced sub-dict
+      var depth = 0
+      var j = i
+      var end = -1
+      while (j + 1 < dict.length && end < 0) {
+        if (dict(j) == '<' && dict(j + 1) == '<') { depth += 1; j += 2 }
+        else if (dict(j) == '>' && dict(j + 1) == '>') { depth -= 1; j += 2; if (depth == 0) end = j }
+        else j += 1
+      }
+      val sub = dict.substring(i, if (end < 0) dict.length else end)
+      val cs = BaseEncodingRe.findFirstMatchIn(sub).map(_.group(1)) match {
+        case Some("MacRomanEncoding") => macRomanCs
+        case _                        => winAnsiCs // incl. explicit WinAnsi and the default
+      }
+      val table = byteTable(cs)
+      val diffAt = sub.indexOf("/Differences")
+      if (diffAt >= 0) {
+        val open = sub.indexOf('[', diffAt)
+        val close = if (open < 0) -1 else sub.indexOf(']', open)
+        if (open >= 0 && close > open) {
+          var code = 0
+          DiffTokenRe.findAllMatchIn(sub.substring(open + 1, close)).foreach { mm =>
+            if (mm.group(2) != null) { // integer: reset current code
+              try code = mm.group(2).toInt catch { case _: Throwable => () }
+            } else if (code >= 0 && code < 256) { // glyph name: assign code++
+              table(code) = glyphToChar(mm.group(1))
+              code += 1
+            }
+          }
+        }
+      }
+      ByteTableDec(table)
+    } else Utf8Dec
+  }
 
   /** `(name → object number)` pairs from a dict's `/Font << … >>`
     * resource group, if any.

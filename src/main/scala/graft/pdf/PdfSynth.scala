@@ -21,9 +21,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *  - string encodings (VERDICT r3 item 4): UTF-8 (default), WinAnsi
   *    (`/Encoding /WinAnsiEncoding`, cp1252 bytes incl. the 0x80-0x9F
   *    zone via an em-dash and accented Latin — en docs only, cp1252
-  *    carries no Cyrillic), and a 2-byte `/ToUnicode` CMap (custom codes
+  *    carries no Cyrillic), a 2-byte `/ToUnicode` CMap (custom codes
   *    for space + a-z + а-я declared via beginbfchar + two beginbfrange
-  *    runs — en and ru docs).
+  *    runs — en and ru docs), and a dict-form `/Encoding` with
+  *    `/Differences` overriding low codes with AGL glyph names +
+  *    a `uniXXXX` name (en docs).
   */
 object PdfSynth {
 
@@ -62,11 +64,12 @@ object PdfSynth {
     // string encoding: 0 = UTF-8, 2 = WinAnsi (en only — cp1252 carries
     // no Cyrillic; a ru WinAnsi roll falls back to UTF-8), 3 = 2-byte
     // ToUnicode CMap codes. Dropped-language docs stay UTF-8.
-    val encRoll = (mix(h + 9) & 3L).toInt
+    val encRoll = (mix(h + 9) % 5).toInt.abs
     val encMode =
       if (lang == "es") 0
       else if (encRoll == 2 && lang == "en") 2
       else if (encRoll == 3) 3
+      else if (encRoll == 4 && lang == "en") 4 // /Differences over WinAnsi
       else 0
     // encoded modes always use hex strings (codes are raw bytes)
     val hexStrings = encMode != 0 || (mix(h + 3) & 3L) == 0L // hex strings can't carry escapes
@@ -99,6 +102,16 @@ object PdfSynth {
     def str(s: String): String = encMode match {
       case 2 => // WinAnsi: cp1252 bytes as a hex string
         "<" + s.getBytes("windows-1252").map(b => f"${b & 0xff}%02x").mkString + ">"
+      case 4 => // Differences codes 1-3 override é — ž; rest is cp1252
+        "<" + s.map { c =>
+          val b = c match {
+            case 'é' => 1
+            case '—' => 2
+            case 'ž' => 3
+            case ch  => ch.toString.getBytes("windows-1252")(0) & 0xff
+          }
+          f"$b%02x"
+        }.mkString + ">"
       case 3 => // 2-byte custom codes as a hex string
         "<" + s.map(c => f"${cmapCode(c)}%04x").mkString + ">"
       case _ if hexStrings =>
@@ -125,6 +138,8 @@ object PdfSynth {
           // the 0x80-0x9F zone where cp1252 ≠ Latin-1): gibberish tokens
           // in no LangId profile, so the en vote is untouched
           else if (encMode == 2 && p == 0 && l == 0) line + " zürq—ölwë"
+          // Differences docs exercise all three overridden codes
+          else if (encMode == 4 && p == 0 && l == 0) line + " zéq—žt"
           else line
         val encoded =
           if (escPara && p == 0 && l == 0 && !hexStrings)
@@ -201,6 +216,9 @@ object PdfSynth {
     w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
       (if (encMode == 2) " /Encoding /WinAnsiEncoding" else "") +
       (if (encMode == 3) " /ToUnicode 7 0 R" else "") +
+      (if (encMode == 4)
+        " /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ 1 /eacute 2 /emdash 3 /uni017E ] >>"
+       else "") +
       " >> endobj\n")
     if (encMode == 3) {
       // the ToUnicode CMap stream declaring the custom 2-byte codes:

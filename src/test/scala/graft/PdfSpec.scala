@@ -98,11 +98,22 @@ class PdfSpec extends AnyFunSuite {
     assert(got.spans(1).text == "�") // unmapped code → replacement, not silence
   }
 
-  test("synth corpus exercises both encoded-font modes (generator↔scanner lockstep guard)") {
+  test("/Differences: AGL names, uniXXXX, unknown glyph → replacement") {
+    val enc = "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 1 /eacute /emdash 3 /uni017E 4 /notaglyph 65 /Euro ] >>"
+    // codes: 1 é, 2 — (name runs increment the code), 3 ž, 4 �, 65 €;
+    // 0x7A 'z' passes through the WinAnsi base table
+    val got = PdfScanner.extract(
+      miniPdf(enc, "BT /F1 12 Tf <01 02 03 04 41 7a> Tj ET"))
+    assert(got.title == "é—ž�€z")
+  }
+
+  test("synth corpus exercises all encoded-font modes (generator↔scanner lockstep guard)") {
     val pdfs = (0 until 800).map(i =>
       new String(PdfSynth.gen(42L, i).pdf, java.nio.charset.StandardCharsets.ISO_8859_1))
-    assert(pdfs.count(_.contains("/WinAnsiEncoding")) > 30)
+    assert(pdfs.count(p => p.contains("/WinAnsiEncoding") && !p.contains("/Differences")) > 20)
     assert(pdfs.count(_.contains("/ToUnicode")) > 60)
+    assert(pdfs.count(_.contains("/Differences")) > 20)
   }
 
   test("layout title heuristic: largest font wins, first on ties") {

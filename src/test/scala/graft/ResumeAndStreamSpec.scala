@@ -248,6 +248,41 @@ class StreamSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streaming classification (slim path, frozen IDF) equals batch") {
+    // the ingest-time classify shape at scale: a persisted corpus IDF
+    // snapshot broadcasts once, then ExtractTitleExpr + runWithIdfSlim
+    // classify a document stream statelessly — micro-batch results must
+    // equal the batch run over the same files
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("docs_cls_stream")
+    graft.synth.Synth.corpus(spark, 44L, 300L, partitions = 5)
+      .write.mode("overwrite").parquet(dir.toString)
+    val bc = graft.gloss.Classify.dictsBroadcast(spark)
+    val batchSlim = graft.extract.ExtractTitleExpr.run(spark.read.parquet(dir.toString))
+    val bcIdf = spark.sparkContext.broadcast(
+      graft.gloss.Classify.idfFromTable(
+        graft.gloss.Classify.dfTableSlim(batchSlim, bc.value)))
+    def key(rows: Array[graft.model.ClassifiedDoc]) =
+      rows.map(c => (c.doc_id, c.lang, c.category, c.is_news)).sortBy(_._1).toSeq
+    val batch = key(graft.gloss.Classify
+      .runWithIdfSlim(batchSlim, bc, bcIdf).collect())
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+    val q = graft.gloss.Classify
+      .runWithIdfSlim(graft.extract.ExtractTitleExpr.run(stream), bc, bcIdf)
+      .map(c => (c.doc_id, c.lang, c.category, c.is_news))
+      .toDF("doc_id", "lang", "category", "is_news")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cls_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cls_stream")
+      .as[(String, String, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful mapGroupsWithState running totals equal batch aggregates") {
     val sp = spark
     import sp.implicits._
