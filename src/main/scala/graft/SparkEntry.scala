@@ -67,7 +67,6 @@ object SparkEntry {
       cls         // ext stays persisted — shared with the span queries
     }
 
-
   private val ivfCache =
     new graft.util.SessionMemo[(SparkSession, String), (DataFrame, DataFrame)](_._1)({
       case (a, p) => a.unpersist(); p.unpersist()

@@ -1,6 +1,5 @@
 package graft.cli
 
-
 import graft.gloss.Classify
 import graft.model.Doc
 import graft.synth.Synth

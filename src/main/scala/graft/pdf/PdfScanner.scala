@@ -295,16 +295,7 @@ object PdfScanner {
         case _                  => Utf8Dec
       }
     } else if (i + 1 < dict.length && dict(i) == '<' && dict(i + 1) == '<') {
-      // balanced sub-dict
-      var depth = 0
-      var j = i
-      var end = -1
-      while (j + 1 < dict.length && end < 0) {
-        if (dict(j) == '<' && dict(j + 1) == '<') { depth += 1; j += 2 }
-        else if (dict(j) == '>' && dict(j + 1) == '>') { depth -= 1; j += 2; if (depth == 0) end = j }
-        else j += 1
-      }
-      val sub = dict.substring(i, if (end < 0) dict.length else end)
+      val sub = dict.substring(i, balancedDictEnd(dict, i)) // balanced sub-dict
       val cs = BaseEncodingRe.findFirstMatchIn(sub).map(_.group(1)) match {
         case Some("MacRomanEncoding") => macRomanCs
         case _                        => winAnsiCs // incl. explicit WinAnsi and the default
@@ -333,22 +324,27 @@ object PdfScanner {
   /** `(name → object number)` pairs from a dict's `/Font << … >>`
     * resource group, if any.
     */
+  /** End index (exclusive) of the balanced `<< … >>` starting at `open`
+    * in `s`, or s.length when unterminated (lenient).
+    */
+  private def balancedDictEnd(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i + 1 < s.length) {
+      if (s(i) == '<' && s(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s(i) == '>' && s(i + 1) == '>') {
+        depth -= 1; i += 2; if (depth == 0) return i
+      } else i += 1
+    }
+    s.length
+  }
+
   private[graft] def fontResourceRefs(dict: String): Seq[(String, Int)] = {
     val at = dict.indexOf("/Font")
     if (at < 0) return Nil
     val open = dict.indexOf("<<", at)
     if (open < 0) return Nil
-    var depth = 0
-    var i = open
-    var end = -1
-    while (i + 1 < dict.length && end < 0) {
-      if (dict(i) == '<' && dict(i + 1) == '<') { depth += 1; i += 2 }
-      else if (dict(i) == '>' && dict(i + 1) == '>') {
-        depth -= 1; i += 2; if (depth == 0) end = i
-      } else i += 1
-    }
-    if (end < 0) end = dict.length
-    FontRefRe.findAllMatchIn(dict.substring(open, end))
+    FontRefRe.findAllMatchIn(dict.substring(open, balancedDictEnd(dict, open)))
       .map(m => m.group(1) -> m.group(2).toInt).toSeq
   }
 

@@ -52,6 +52,16 @@ object PdfSynth {
   private def words(pool: Vector[String], h: Long, n: Int): String =
     (0 until n).map(k => pick(pool, mix(h + k))).mkString(" ")
 
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(bytes); def_.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    out.toByteArray
+  }
+
   /** One synthetic PDF + its expected extraction. */
   def gen(seed: Long, idx: Long): PdfTruth = {
     val h = mix(seed ^ mix(idx))
@@ -191,16 +201,7 @@ object PdfSynth {
     }
 
     val contentBytes0 = contentWithImages.getBytes("UTF-8")
-    val contentBytes =
-      if (flate) {
-        val def_ = new java.util.zip.Deflater()
-        def_.setInput(contentBytes0); def_.finish()
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
-        def_.end()
-        out.toByteArray
-      } else contentBytes0
+    val contentBytes = if (flate) deflate(contentBytes0) else contentBytes0
 
     val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = bos.write(s.getBytes("UTF-8"))
@@ -229,16 +230,7 @@ object PdfSynth {
         "1 beginbfchar\n<0001> <0020>\nendbfchar\n" +
         "2 beginbfrange\n<0200> <0219> <0061>\n<0300> <031f> <0430>\nendbfrange\n" +
         "endcmap\nend\n").getBytes("UTF-8")
-      val cmapBytes =
-        if (flate) {
-          val def_ = new java.util.zip.Deflater()
-          def_.setInput(cmap); def_.finish()
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
-          def_.end()
-          out.toByteArray
-        } else cmap
+      val cmapBytes = if (flate) deflate(cmap) else cmap
       w(s"7 0 obj << /Length ${cmapBytes.length}" +
         (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
       bos.write(cmapBytes)
