@@ -90,10 +90,7 @@ object Main {
       opts: Map[String, String]): Dataset[graft.model.ClassifiedDoc] = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
-    // session-memoized dictionary broadcast (VERDICT r3 item 6) + the
-    // Tungsten byte-path extraction (VERDICT r3 item 2: ExtractSpansExpr
-    // beats the typed path 16-32% at 2M docs; the typed kernel remains
-    // the executable spec, ByteExtractSpec pins row equality)
+    // session-memoized dictionary broadcast (VERDICT r3 item 6)
     val bc = Classify.dictsBroadcast(spark)
     // classify-only extraction (ExtractTitleExpr): same kernel/gate as
     // the full expression but spans are never even materialized — the
