@@ -58,6 +58,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("title-only extraction plan is a single narrow stage, no encoder ops") {
+    // the r4 classify-only path: scan → extract_title → filter/project,
+    // no shuffle, no Deserialize/Serialize boundary — the plan must keep
+    // the shape that scales with input splits alone
+    val dir = java.nio.file.Files.createTempDirectory("titleplan").toString
+    graft.synth.Synth.corpus(spark, 42L, 100L).write.mode("overwrite").parquet(dir)
+    val p = graft.extract.ExtractTitleExpr
+      .run(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+      p.take(2000))
+    assert(p.contains("extract_title"), p.take(2000))
+  }
+
   test("doc_token_count: no UDF in the plan (pure codegen expressions)") {
     val p = formatted("doc_token_count")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
