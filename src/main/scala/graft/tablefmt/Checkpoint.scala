@@ -186,8 +186,12 @@ object Checkpoint {
       outRows.write.mode(SaveMode.Overwrite)
         .partitionBy("part_bucket")
         .parquet(s"$out/data")
-      val nOutput = spark.read.parquet(s"$out/data")
-        .filter(col("part_bucket") === k).count()
+      // an all-empty write leaves no readable files at all (only
+      // _SUCCESS) — that is a legitimate zero-row unit, not a failure
+      val nOutput =
+        if (!Files.isDirectory(Paths.get(s"$out/data/part_bucket=$k"))) 0L
+        else spark.read.parquet(s"$out/data")
+          .filter(col("part_bucket") === k).count()
       val attempt = 1 // committed manifests are never re-attempted
       sealManifest(out, UnitManifest(k, fpxor, nInput, nOutput,
         (System.nanoTime() - t0) / 1000000, attempt, "committed"))

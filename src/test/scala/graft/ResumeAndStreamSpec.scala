@@ -75,6 +75,21 @@ class ResumeSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(out, "_staged")))
   }
 
+  test("all-empty transform output commits cleanly with zero-row manifests") {
+    // a filter-everything transform writes no parquet files at all; the
+    // run must still seal every unit with nOutput = 0 rather than crash
+    // on the unreadable output path
+    import org.apache.spark.sql.functions.lit
+    val out = Files.createTempDirectory("ckpt_empty").toString
+    val r = Checkpoint.resume(spark, input, "doc_id",
+      df => df.filter(lit(false)), out, buckets = 4)
+    assert(r.unitsCommitted == (0 until 4))
+    val ms = Checkpoint.readManifests(out)
+    assert(ms.map(_.bucket) == Seq(0, 1, 2, 3))
+    assert(ms.forall(_.nOutput == 0L))
+    assert(ms.map(_.nInput).sum == 1000L) // inputs still fingerprinted
+  }
+
   test("stale staging from a crashed run never leaks old rows into new commits") {
     // r4 review: dynamic partition overwrite only replaces partitions
     // present in the CURRENT staging write, so a bucket that became
