@@ -108,6 +108,30 @@ class PdfSpec extends AnyFunSuite {
     assert(got.title == "é—ž�€z")
   }
 
+  test("/Differences bounds: out-of-range codes are ignored, 255 caps a name run") {
+    // code 300 is outside the byte range (skip, base table untouched);
+    // 255 takes the first name and the run's next code (256) is guarded
+    val enc = "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 300 /Euro 255 /eacute /emdash ] >>"
+    val got = PdfScanner.extract(
+      miniPdf(enc, "BT /F1 12 Tf <41 ff> Tj ET"))
+    assert(got.title == "Aé") // 0x41 base, 0xff overridden, nothing corrupted
+  }
+
+  test("1-byte /ToUnicode CMap decodes single-byte codes") {
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange <00> <ff> endcodespacerange\n" +
+      "2 beginbfchar <41> <0417> <20> <0020> endbfchar\n" +
+      "1 beginbfrange <61> <63> <0430> endbfrange\n" +
+      "endcmap\n"
+    val extra = s"7 0 obj << /Length ${cmap.getBytes(UTF_8).length} >>\nstream\n" +
+      cmap + "\nendstream\nendobj\n"
+    // bytes: 'A'(0x41→З) ' '(0x20) 'a'..'c'(0x61-63→абв)
+    val got = PdfScanner.extract(
+      miniPdf("/ToUnicode 7 0 R", "BT /F1 12 Tf <41 20 61 62 63> Tj ET", extra))
+    assert(got.title == "З абв")
+  }
+
   test("synth corpus exercises all encoded-font modes (generator↔scanner lockstep guard)") {
     val pdfs = (0 until 800).map(i =>
       new String(PdfSynth.gen(42L, i).pdf, java.nio.charset.StandardCharsets.ISO_8859_1))
