@@ -497,18 +497,22 @@ object SparkEntry {
     "doc_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'""".stripMargin,
+    // coalesce(strlen(text), 0): the Spark side maps NULL text to an
+    // empty body, so the oracle formulas must stay total under NULL too
+    // (ADVICE r4 — current fixtures carry no NULLs, but the formulas
+    // should not silently diverge if testdata ever does)
     "media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |CASE WHEN doc_id % 3 = 0
-        |  THEN (CASE WHEN doc_id % 6 = 0 THEN 57 ELSE 17 END) + strlen(text)
-        |  WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
-        |  ELSE strlen(text) END AS n_bytes,
+        |  THEN (CASE WHEN doc_id % 6 = 0 THEN 57 ELSE 17 END) + coalesce(strlen(text), 0)
+        |  WHEN doc_id % 3 = 1 THEN 44 + coalesce(strlen(text), 0)
+        |  ELSE coalesce(strlen(text), 0) END AS n_bytes,
         |CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 240 ELSE 0 END AS width,
         |CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 3) % 180 ELSE 0 END AS height,
         |CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) ELSE 0 END AS sample_rate,
         |CASE WHEN doc_id % 3 = 1
-        |  THEN strlen(text) * 1000 // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+        |  THEN coalesce(strlen(text), 0) * 1000 // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
         |  ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin,
 

@@ -31,7 +31,11 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val verb = args(0)
-    val opts = parseOpts(args.drop(1))
+    val opts =
+      try parseOpts(args.drop(1))
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2)
+      }
     if (!Set("languages", "news", "categories", "threads", "top", "debug").contains(verb)) {
       System.err.println(s"unknown verb: $verb\n$usage"); sys.exit(2)
     }
@@ -53,9 +57,17 @@ object Main {
     finally spark.stop()
   }
 
-  private def parseOpts(rest: Array[String]): Map[String, String] =
-    rest.sliding(2, 2).collect {
+  /** Strict --flag value pairing: a dangling flag (odd arg count) or a
+    * non-flag token where a flag is expected aborts with usage instead of
+    * being silently dropped — `--fuzzy` with a forgotten value must not
+    * silently run exact clustering (VERDICT r4 item 6).
+    */
+  private[graft] def parseOpts(rest: Array[String]): Map[String, String] =
+    rest.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case bad =>
+        throw new IllegalArgumentException(
+          s"malformed arguments at '${bad.mkString(" ")}' (expected --flag value)\n$usage")
     }.toMap
 
   private val usage =

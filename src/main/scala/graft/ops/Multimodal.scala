@@ -121,13 +121,17 @@ object Multimodal {
       var m = b(i + 1) & 0xff
       while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff } // fill bytes
       if (m == 0xD9 || m == 0xDA) return None // EOI / start-of-scan: no frame header seen
-      if (i + 3 >= b.length) return None // fill-skip reached a truncated tail
-      val len = be16(b, i + 2)
-      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
-        return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5))) else None
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        i += 2 // TEM / RSTn are standalone: no length segment follows
+      } else {
+        if (i + 3 >= b.length) return None // fill-skip reached a truncated tail
+        val len = be16(b, i + 2)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5))) else None
+        }
+        if (len < 2) return None
+        i += 2 + len
       }
-      if (len < 2) return None
-      i += 2 + len
     }
     None
   }

@@ -339,13 +339,21 @@ object PdfScanner {
     s.length
   }
 
+  /** Anchored on the name token `/Font` DIRECTLY followed by `<<` — a bare
+    * `indexOf("/Font")` also matched the "/Font" inside a font object's own
+    * `/Type /Font`, harvesting whatever nested dict came next (e.g. a
+    * dict-form /Encoding) into the file-global font-name map (ADVICE r4).
+    */
+  private val FontGroupRe = """/Font\s*<<""".r
+
   private[graft] def fontResourceRefs(dict: String): Seq[(String, Int)] = {
-    val at = dict.indexOf("/Font")
-    if (at < 0) return Nil
-    val open = dict.indexOf("<<", at)
-    if (open < 0) return Nil
-    FontRefRe.findAllMatchIn(dict.substring(open, balancedDictEnd(dict, open)))
-      .map(m => m.group(1) -> m.group(2).toInt).toSeq
+    FontGroupRe.findFirstMatchIn(dict) match {
+      case None => Nil
+      case Some(m) =>
+        val open = m.end - 2 // the `<<` the regex just matched
+        FontRefRe.findAllMatchIn(dict.substring(open, balancedDictEnd(dict, open)))
+          .map(mm => mm.group(1) -> mm.group(2).toInt).toSeq
+    }
   }
 
   /** All `N G obj << … >>` definitions: (object number, dict text).

