@@ -179,21 +179,67 @@ object ScalingBench {
     * caller so the per-JVM parse isn't charged to one level).
     */
   def timePipeline(spark: SparkSession, dir: String): Double = {
-    import spark.implicits._
     // session-memoized: re-broadcasting the 50.7k-term postings per
     // pipeline job was measurable fixed cost at small corpora (VERDICT
     // r3 item 6) — a production job classifies many slices per session
     val bc = graft.gloss.Classify.dictsBroadcast(spark)
     val t0 = System.nanoTime()
     // classify-only byte-path extraction — the user-facing default
-    // (VERDICT r3 item 2; ExtractTitleExpr skips span materialization)
-    val classified = graft.gloss.Classify.runCachedSlim(
-      graft.extract.ExtractTitleExpr.run(spark.read.parquet(dir)), bc)
-    graft.threads.Threads.threads(classified).count()
-    graft.threads.Threads.top(graft.threads.Threads.threads(classified)).count()
+    // (VERDICT r3 item 2; ExtractTitleExpr skips span materialization).
+    // Three serialized jobs total (VERDICT r4 item 1): (1) extract+IDF,
+    // (2) classify fused into the threads aggregation — the thread agg's
+    // shuffle map side materializes the classified cache, so there is no
+    // separate count() pass or job boundary between them — (3) top over
+    // the PERSISTED thread table (threads feed both the thread listing
+    // and top in one session; recomputing the salted agg per consumer
+    // was pure recompute waste).
+    var th: org.apache.spark.sql.DataFrame = null
+    val classified = graft.gloss.Classify.runCachedSlimFused(
+      graft.extract.ExtractTitleExpr.run(spark.read.parquet(dir)), bc) { cls =>
+      th = graft.threads.Threads.threads(cls)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      th.count() // one job: classify → salted thread agg → thread cache
+    }
+    graft.threads.Threads.top(th).count() // tiny: window over cached threads
     val sec = (System.nanoTime() - t0) / 1e9
+    th.unpersist()
     classified.unpersist()
     sec
+  }
+
+  /** Stage-by-stage pipeline profile at one parallelism level — the
+    * evidence tool behind the N→4N full-pipeline scaling work: where does
+    * the 16-core floor actually go? One JSON line per repeat with
+    * per-stage seconds (extract+IDF+collect, IDF broadcast,
+    * classify fused into the thread agg, top).
+    *
+    * {{{ SPARK_GRAFT_CPUS=16 sbt "runMain graft.PipeProfile 1000000 3" }}}
+    */
+  def profile(spark: SparkSession, pq: String, nDocs: Long, cpus: String, repeat: Int): String = {
+    import org.apache.spark.storage.StorageLevel
+    def tick[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+    }
+    val bc = graft.gloss.Classify.dictsBroadcast(spark)
+    val tAll0 = System.nanoTime()
+    val slim = graft.extract.ExtractTitleExpr.run(spark.read.parquet(pq))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (idf, tIdf) = tick(graft.gloss.Classify.idfFromTable(
+      graft.gloss.Classify.dfTableSlim(slim, bc.value)))
+    val (bcIdf, tBc) = tick(spark.sparkContext.broadcast(idf))
+    val cls = graft.gloss.Classify.runWithIdfSlim(slim, bc, bcIdf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (th, tThreads) = tick {
+      val t = graft.threads.Threads.threads(cls).persist(StorageLevel.MEMORY_AND_DISK)
+      t.count(); t
+    }
+    slim.unpersist()
+    val (_, tTop) = tick(graft.threads.Threads.top(th).count())
+    val total = (System.nanoTime() - tAll0) / 1e9
+    th.unpersist(); cls.unpersist()
+    s"""{"profile":"pipeline","cpus":$cpus,"docs":$nDocs,"repeat":$repeat,""" +
+      s""""extract_idf_collect":$tIdf,"bc_idf":$tBc,""" +
+      s""""classify_threads":$tThreads,"top":$tTop,"total":$total}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -220,6 +266,22 @@ object ScalingBench {
       s""""expr_sec":$exprSec,"expr_docs_per_sec":${nDocs / exprSec},""" +
       s""""fused_sec":$fusedSec,"fused_docs_per_sec":${nDocs / fusedSec},""" +
       s""""pipeline_sec":$pipeSec,"pipeline_docs_per_sec":${nDocs / pipeSec}}""")
+    spark.stop()
+  }
+}
+
+/** `runMain graft.PipeProfile [nDocs] [repeats]` — see [[ScalingBench.profile]]. */
+object PipeProfile {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val repeats = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Bench.session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val pq = Bench.corpusParquet(spark, nDocs, 128)
+    graft.gloss.Classify.defaultDicts
+    ScalingBench.timePipeline(spark, pq) // warmup (codegen + page cache)
+    (1 to repeats).foreach(r => println(ScalingBench.profile(spark, pq, nDocs, cpus, r)))
     spark.stop()
   }
 }
