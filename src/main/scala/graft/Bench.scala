@@ -133,17 +133,38 @@ object Bench {
     // without this warmup it lands on whichever ext_* query runs first
     graft.gloss.Classify.defaultDicts
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // median of 3 full sweeps (VERDICT r4 item 4): a single sweep on this
+    // noisy host was a ±16% artifact. Each sweep runs in a FRESH
+    // spark.newSession() so the session-scoped caches (extracted /
+    // classified / ivf memos, dictionary broadcast) rebuild — every sweep
+    // carries the same one-time costs a prior round's single sweep did,
+    // keeping round-over-round totals comparable. All sweep totals are
+    // recorded alongside the median; the same-JVM extraction throughput
+    // above is the recorded noise tell (a depressed sweep total with
+    // extract_docs_per_sec also depressed is host load, not a plan
+    // change — VERDICT r4 "what's wrong" 1).
+    def sweep(): Seq[(String, Double)] = {
+      val sess = spark.newSession()
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(sess, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val sweeps = (1 to 3).map(_ => sweep())
+    val totals = sweeps.map(_.map(_._2).sum)
+    val total = totals.sorted.apply(totals.size / 2) // median sweep total
+    // per-query medians: robust against one co-tenant spike landing on a
+    // single query of a single sweep
+    val qs = sweeps.head.map(_._1).map { name =>
+      val med = sweeps.map(_.collectFirst { case (`name`, t) => t }.get)
+        .sorted.apply(sweeps.size / 2)
+      s"\"" + name + "\":" + med
+    }.mkString("{", ",", "}")
     val (skew, nTasks) = extractTaskSkew(spark, pq)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""runs":[${totals.mkString(",")}],"median":$total,""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
       s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +
