@@ -33,7 +33,15 @@ import graft.model.Span
   *    per-code glyph overrides (common AGL names + `uniXXXX`; unknown
   *    names → U+FFFD; missing BaseEncoding defaults to WinAnsi — the
   *    font program's built-in encoding is unresolvable without the font
-  *    itself). CID descendant fonts remain out of scope;
+  *    itself). Type0 composite fonts with `/Encoding /Identity-H` (or
+  *    -V) decode their 2-byte codes through the font's `/ToUnicode`
+  *    CMap (the dominant real-world shape for non-Latin and subsetted
+  *    fonts); descendant CIDFont dicts pass through untouched (the
+  *    ToUnicode lives on the Type0 dict). Identity-H WITHOUT a
+  *    ToUnicode yields one U+FFFD per 2-byte code — the CIDs are glyph
+  *    ids, unmappable without the font program. Named non-Identity
+  *    CMaps and stream-form `/Encoding N 0 R` stay out of scope, as do
+  *    fonts/CMaps packed inside PDF 1.5 object streams (ObjStm);
   *  - `Do` placements are emitted as image spans in document order with
   *    `media_ref` = the XObject name (resource-dict indirection is not
   *    resolved — the NAME is the stable reference within the page).
@@ -76,6 +84,14 @@ object PdfScanner {
       map: java.util.HashMap[Integer, String]) extends Decoder
   /** Byte→string table built from a base encoding + /Differences. */
   private[graft] final case class ByteTableDec(table: Array[String]) extends Decoder
+  /** Type0 `/Encoding /Identity-H` (or -V) WITHOUT a usable /ToUnicode:
+    * each 2-byte code is a CID = glyph id, and without the font program
+    * there is no code→text mapping — iterate the 2-byte codes and emit
+    * one replacement char each (never silence, same contract as unmapped
+    * CMap codes). With a /ToUnicode stream present the [[CMapDec]] built
+    * from it replaces this base decoder.
+    */
+  private[graft] case object Identity2Dec extends Decoder
 
   // WinAnsiEncoding is windows-1252 (java.base); MacRomanEncoding lives
   // in the jdk.charsets module — present in a full JDK, so fall back to
@@ -94,6 +110,11 @@ object PdfScanner {
       var i = 0
       while (i < s.length) { sb.append(table(s(i) & 0xff)); i += 1 }
       sb.toString
+    case Identity2Dec =>
+      val sb = new java.lang.StringBuilder(s.length / 2 + 1)
+      var i = 0
+      while (i + 2 <= s.length) { sb.append('�'); i += 2 }
+      sb.toString // a trailing partial code is dropped
     case CMapDec(len, m) =>
       val sb = new java.lang.StringBuilder(s.length / len + 1)
       var i = 0
@@ -213,7 +234,7 @@ object PdfScanner {
   }
 
   private val FontTypeRe = """/Type\s*/Font""".r
-  private val EncodingRe = """/Encoding\s*/(\w+)""".r
+  private val EncodingRe = """/Encoding\s*/([\w-]+)""".r // hyphen: Identity-H / Identity-V
   private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val FontRefRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
   private val BaseEncodingRe = """/BaseEncoding\s*/(\w+)""".r
@@ -292,6 +313,13 @@ object PdfScanner {
       EncodingRe.findFirstMatchIn(dict.substring(at)).map(_.group(1)).getOrElse("") match {
         case "WinAnsiEncoding"  => WinAnsiDec
         case "MacRomanEncoding" => MacRomanDec
+        // Type0 composite fonts (VERDICT r4 item 2): Identity-H/-V maps
+        // 2-byte codes straight to CIDs — the base decoder iterates
+        // 2-byte codes; a /ToUnicode CMap (the standard companion and
+        // the only text route without the font program) overrides it in
+        // extractImpl. Named non-Identity CMaps (/UniGB-UCS2-H …) and
+        // stream-form /Encoding N 0 R remain out of scope.
+        case "Identity-H" | "Identity-V" => Identity2Dec
         case _                  => Utf8Dec
       }
     } else if (i + 1 < dict.length && dict(i) == '<' && dict(i + 1) == '<') {

@@ -23,9 +23,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *    zone via an em-dash and accented Latin — en docs only, cp1252
   *    carries no Cyrillic), a 2-byte `/ToUnicode` CMap (custom codes
   *    for space + a-z + а-я declared via beginbfchar + two beginbfrange
-  *    runs — en and ru docs), and a dict-form `/Encoding` with
+  *    runs — en and ru docs), a dict-form `/Encoding` with
   *    `/Differences` overriding low codes with AGL glyph names +
-  *    a `uniXXXX` name (en docs).
+  *    a `uniXXXX` name (en docs), and a Type0 `/Identity-H` composite
+  *    font (en and ru docs): descendant CIDFont object + ToUnicode CMap
+  *    whose a-z CID run spans the 0x00FF/0x0100 code-page boundary
+  *    (VERDICT r4 item 2).
   */
 object PdfSynth {
 
@@ -73,13 +76,16 @@ object PdfSynth {
     val flate = (mix(h + 2) & 1L) == 0L
     // string encoding: 0 = UTF-8, 2 = WinAnsi (en only — cp1252 carries
     // no Cyrillic; a ru WinAnsi roll falls back to UTF-8), 3 = 2-byte
-    // ToUnicode CMap codes. Dropped-language docs stay UTF-8.
-    val encRoll = (mix(h + 9) % 5).toInt.abs
+    // ToUnicode CMap codes, 5 = Type0 /Identity-H composite font with a
+    // descendant CIDFont + ToUnicode (VERDICT r4 item 2; en and ru).
+    // Dropped-language docs stay UTF-8.
+    val encRoll = (mix(h + 9) % 6).toInt.abs
     val encMode =
       if (lang == "es") 0
       else if (encRoll == 2 && lang == "en") 2
       else if (encRoll == 3) 3
       else if (encRoll == 4 && lang == "en") 4 // /Differences over WinAnsi
+      else if (encRoll == 5) 5
       else 0
     // encoded modes always use hex strings (codes are raw bytes)
     val hexStrings = encMode != 0 || (mix(h + 3) & 3L) == 0L // hex strings can't carry escapes
@@ -109,6 +115,14 @@ object PdfSynth {
       else if (c >= 'a' && c <= 'z') 0x0200 + (c - 'a')
       else if (c >= 'а' && c <= 'я') 0x0300 + (c - 'а')
       else 0 // never produced by the generator's text
+    // Identity-H CIDs (encMode 5): the a-z run 0x00F0-0x0109 deliberately
+    // SPANS the 0x00FF/0x0100 code-page boundary so the scanner's
+    // 2-byte bfrange expansion is exercised across it
+    def cidCode(c: Char): Int =
+      if (c == ' ') 0x0003
+      else if (c >= 'a' && c <= 'z') 0x00f0 + (c - 'a')
+      else if (c >= 'а' && c <= 'я') 0x0210 + (c - 'а')
+      else 0 // never produced by the generator's text
     def str(s: String): String = encMode match {
       case 2 => // WinAnsi: cp1252 bytes as a hex string
         "<" + s.getBytes("windows-1252").map(b => f"${b & 0xff}%02x").mkString + ">"
@@ -124,6 +138,8 @@ object PdfSynth {
         }.mkString + ">"
       case 3 => // 2-byte custom codes as a hex string
         "<" + s.map(c => f"${cmapCode(c)}%04x").mkString + ">"
+      case 5 => // Identity-H: 2-byte CIDs as a hex string
+        "<" + s.map(c => f"${cidCode(c)}%04x").mkString + ">"
       case _ if hexStrings =>
         "<" + s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString + ">"
       case _ =>
@@ -214,21 +230,34 @@ object PdfSynth {
       (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
     bos.write(contentBytes)
     w("\nendstream\nendobj\n")
-    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
-      (if (encMode == 2) " /Encoding /WinAnsiEncoding" else "") +
-      (if (encMode == 3) " /ToUnicode 7 0 R" else "") +
-      (if (encMode == 4)
-        " /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ 1 /eacute 2 /emdash 3 /uni017E ] >>"
-       else "") +
-      " >> endobj\n")
-    if (encMode == 3) {
-      // the ToUnicode CMap stream declaring the custom 2-byte codes:
-      // one bfchar (space) + two bfrange runs (a-z, а-я)
+    if (encMode == 5)
+      // Type0 composite font, the real-world CID shape: Identity-H
+      // encoding, a descendant CIDFont (obj 8, pass-through for the
+      // scanner), and the ToUnicode CMap carrying the only text mapping
+      w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 7 0 R >> endobj\n")
+    else
+      w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        (if (encMode == 2) " /Encoding /WinAnsiEncoding" else "") +
+        (if (encMode == 3) " /ToUnicode 7 0 R" else "") +
+        (if (encMode == 4)
+          " /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ 1 /eacute 2 /emdash 3 /uni017E ] >>"
+         else "") +
+        " >> endobj\n")
+    if (encMode == 3 || encMode == 5) {
+      // the ToUnicode CMap stream declaring the 2-byte codes: one bfchar
+      // (space) + two bfrange runs (a-z, а-я). The Identity-H a-z run
+      // 0x00F0-0x0109 spans the 0x00FF/0x0100 code-page boundary.
+      val ranges =
+        if (encMode == 3) "2 beginbfrange\n<0200> <0219> <0061>\n<0300> <031f> <0430>\nendbfrange\n"
+        else "2 beginbfrange\n<00f0> <0109> <0061>\n<0210> <022f> <0430>\nendbfrange\n"
+      val bfchar =
+        if (encMode == 3) "1 beginbfchar\n<0001> <0020>\nendbfchar\n"
+        else "1 beginbfchar\n<0003> <0020>\nendbfchar\n"
       val cmap = ("/CIDInit /ProcSet findresource begin\n" +
         "begincmap\n/CMapName /GraftUni def\n" +
         "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n" +
-        "1 beginbfchar\n<0001> <0020>\nendbfchar\n" +
-        "2 beginbfrange\n<0200> <0219> <0061>\n<0300> <031f> <0430>\nendbfrange\n" +
+        bfchar + ranges +
         "endcmap\nend\n").getBytes("UTF-8")
       val cmapBytes = if (flate) deflate(cmap) else cmap
       w(s"7 0 obj << /Length ${cmapBytes.length}" +
@@ -236,6 +265,10 @@ object PdfSynth {
       bos.write(cmapBytes)
       w("\nendstream\nendobj\n")
     }
+    if (encMode == 5)
+      w("8 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/CIDToGIDMap /Identity >> endobj\n")
     // a tiny (non-content) image stream: bytes chosen with no BT/Do tokens
     if (nImages > 0) {
       val imgData = Array.tabulate[Byte](16)(k => (mix(h + 500 + k) & 0x3f).toByte)

@@ -151,6 +151,42 @@ class PdfSpec extends AnyFunSuite {
     assert(pdfs.count(p => p.contains("/WinAnsiEncoding") && !p.contains("/Differences")) > 20)
     assert(pdfs.count(_.contains("/ToUnicode")) > 60)
     assert(pdfs.count(_.contains("/Differences")) > 20)
+    assert(pdfs.count(_.contains("/Identity-H")) > 60) // Type0 composite mode
+  }
+
+  test("Type0 /Identity-H: 2-byte CIDs decode through ToUnicode; descendant passes through") {
+    // the real-world composite-font shape: Type0 dict + Identity-H +
+    // descendant CIDFont + ToUnicode; the a-z bfrange below spans the
+    // 0x00FF/0x0100 code-page boundary (<00f0> <0109> <0061>)
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange <0000> <ffff> endcodespacerange\n" +
+      "1 beginbfchar <0003> <0020> endbfchar\n" +
+      "1 beginbfrange <00f0> <0109> <0061> endbfrange\n" +
+      "endcmap\n"
+    val extra = s"7 0 obj << /Length ${cmap.getBytes(UTF_8).length} >>\nstream\n" +
+      cmap + "\nendstream\nendobj\n" +
+      "8 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >> endobj\n"
+    val pdf = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      { val c = "BT /F1 12 Tf <00ff 0100 0003 00f0 0109> Tj ET" // p q ' ' a z
+        s"4 0 obj << /Length ${c.length} >>\nstream\n" + c + "\nendstream\nendobj\n" } +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 7 0 R >> endobj\n" +
+      extra + "%%EOF\n").getBytes(UTF_8)
+    assert(PdfScanner.extract(pdf).title == "pq az")
+  }
+
+  test("Identity-H without ToUnicode: one replacement per 2-byte code, never silence") {
+    val pdf = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      { val c = "BT /F1 12 Tf <00410042 0043> Tj ET" // 3 codes + no mapping
+        s"4 0 obj << /Length ${c.length} >>\nstream\n" + c + "\nendstream\nendobj\n" } +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /DescendantFonts [8 0 R] >> endobj\n" +
+      "8 0 obj << /Type /Font /Subtype /CIDFontType2 >> endobj\n%%EOF\n").getBytes(UTF_8)
+    val got = PdfScanner.extract(pdf)
+    assert(got.title == "���") // CIDs are glyph ids: unmappable without the font
   }
 
   test("layout title heuristic: largest font wins, first on ties") {
