@@ -318,14 +318,15 @@ object SparkEntry {
 
     // ---- multimodal plumbing ------------------------------------------
     "media_meta" -> ((s, d) =>
-      // width/height/sample_rate/duration are PARSED from format-true
-      // PNG/JPEG/WAV bytes; the oracle recomputes them from the
-      // generator's parameter formulas
+      // width/height/frames/sample_rate/duration are PARSED from
+      // format-true PNG/JPEG/WAV/MP4 bytes; the oracle recomputes them
+      // from the generator's parameter formulas
       Multimodal.extractMeta(Multimodal.mediaTable(t(s, d, "documents")))
         .toDF().select(col("doc_id"), col("kind"),
           col("n_bytes").cast("long").as("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
+          col("frames").cast("long").as("frames"),
           col("sample_rate").cast("long").as("sample_rate"),
           col("duration_ms").cast("long").as("duration_ms"))),
     "media_frame_plan" -> ((s, d) =>
@@ -507,12 +508,16 @@ object SparkEntry {
         |CASE WHEN doc_id % 3 = 0
         |  THEN (CASE WHEN doc_id % 6 = 0 THEN 57 ELSE 17 END) + coalesce(strlen(text), 0)
         |  WHEN doc_id % 3 = 1 THEN 44 + coalesce(strlen(text), 0)
-        |  ELSE coalesce(strlen(text), 0) END AS n_bytes,
-        |CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 240 ELSE 0 END AS width,
-        |CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 3) % 180 ELSE 0 END AS height,
+        |  ELSE 332 + coalesce(strlen(text), 0) END AS n_bytes,
+        |CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 240
+        |  WHEN doc_id % 3 = 2 THEN 160 + (doc_id % 10) * 32 ELSE 0 END AS width,
+        |CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 3) % 180
+        |  WHEN doc_id % 3 = 2 THEN 120 + ((doc_id // 3) % 10) * 24 ELSE 0 END AS height,
+        |CASE WHEN doc_id % 3 = 2 THEN 10 + doc_id % 290 ELSE 1 END AS frames,
         |CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) ELSE 0 END AS sample_rate,
         |CASE WHEN doc_id % 3 = 1
         |  THEN coalesce(strlen(text), 0) * 1000 // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+        |  WHEN doc_id % 3 = 2 THEN (10 + doc_id % 290) * 50
         |  ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin,
 

@@ -26,14 +26,20 @@ class MultimodalSpec extends AnyFunSuite {
         val (w, h) = Multimodal.imageDims(m.doc_id)
         assert((m.width, m.height) == ((w, h)),
           s"doc ${m.doc_id}: parsed ${(m.width, m.height)} vs formula ${(w, h)}")
-      } else assert(m.width == 0 && m.height == 0) // codec-blocked kinds
+      } else if (m.kind == "video") {
+        // PARSED from the MP4 mvhd/tkhd/stts boxes ≡ the generator formulas
+        val (w, h, frames) = Multimodal.videoParams(m.doc_id)
+        assert((m.width, m.height, m.frames) == ((w, h, frames)),
+          s"doc ${m.doc_id}: parsed ${(m.width, m.height, m.frames)} vs formula ${(w, h, frames)}")
+        assert(m.duration_ms == frames * 50) // 20 fps exactly
+      } else assert(m.width == 0 && m.height == 0)
       if (m.kind == "audio") {
         // PARSED from the WAV RIFF/fmt chunks ≡ the generator formula
         val (rate, _) = Multimodal.audioParams(m.doc_id)
         assert(m.sample_rate == rate,
           s"doc ${m.doc_id}: parsed rate ${m.sample_rate} vs formula $rate")
         assert(m.duration_ms >= 0)
-      } else assert(m.sample_rate == 0 && m.duration_ms == 0)
+      } else assert(m.sample_rate == 0 && (m.kind == "video" || m.duration_ms == 0))
       assert(m.kind != "video" || m.frames >= 1)
     }
     // deterministic across runs
@@ -90,6 +96,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWav("RIFFnope".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseWav(Array.empty[Byte]).isEmpty)
     assert(Multimodal.parseWav(Multimodal.pngBytes(4, 4, body)).isEmpty)
+  }
+
+  test("MP4 box-walk parser: round-trip, two-entry stts summation, garbage → None") {
+    val body = "mdat payload stand-in".getBytes("UTF-8")
+    val mp4 = Multimodal.mp4Bytes(640, 360, 123, body)
+    assert(mp4.length == 332 + body.length) // the oracle's n_bytes formula
+    assert(Multimodal.parseMp4(mp4).contains((640, 360, 123, 123 * 50)))
+    // stts frame count is SUMMED over entries (generator always emits 2)
+    assert(Multimodal.parseMp4(Multimodal.mp4Bytes(64, 64, 2, Array.empty))
+      .contains((64, 64, 2, 100)))
+    // garbage, truncation, wrong container
+    assert(Multimodal.parseMp4(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseMp4("not an mp4 either...".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMp4(mp4.take(40)).isEmpty) // ftyp only, no moov
+    assert(Multimodal.parseMp4(Multimodal.wavBytes(8000, 1, body)).isEmpty)
+    // a hostile size-0 box stops the walk instead of looping
+    val hostile = mp4.clone()
+    java.nio.ByteBuffer.wrap(hostile).putInt(20, 0) // moov size := 0
+    assert(Multimodal.parseMp4(hostile).isEmpty)
   }
 
   test("resize stub: bounded box, payload shrinks, header carries dims") {
