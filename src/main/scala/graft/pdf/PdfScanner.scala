@@ -39,9 +39,12 @@ import graft.model.Span
   *    fonts); descendant CIDFont dicts pass through untouched (the
   *    ToUnicode lives on the Type0 dict). Identity-H WITHOUT a
   *    ToUnicode yields one U+FFFD per 2-byte code — the CIDs are glyph
-  *    ids, unmappable without the font program. Named non-Identity
-  *    CMaps and stream-form `/Encoding N 0 R` stay out of scope, as do
-  *    fonts/CMaps packed inside PDF 1.5 object streams (ObjStm);
+  *    ids, unmappable without the font program. PDF 1.5 object streams
+  *    (`/Type /ObjStm`) are EXPANDED: their packed dict objects (the
+  *    route by which modern writers hide font/encoding dicts from a raw
+  *    byte scan) feed the same pre-pass — CMap streams themselves stay
+  *    top-level by spec. Named non-Identity CMaps and stream-form
+  *    `/Encoding N 0 R` stay out of scope;
   *  - `Do` placements are emitted as image spans in document order with
   *    `media_ref` = the XObject name (resource-dict indirection is not
   *    resolved — the NAME is the stable reference within the page).
@@ -129,13 +132,14 @@ object PdfScanner {
       sb.toString // a trailing partial code is dropped
   }
 
-  /** Decoded per-stream payloads in document order, with the owning
-    * object number (-1 when the stream has no parseable `N G obj`
-    * header — damaged input stays usable as anonymous content).
+  /** Decoded per-stream payloads in document order: (owning object
+    * number, stream dict text, decoded data). Object number is -1 when
+    * the stream has no parseable `N G obj` header — damaged input stays
+    * usable as anonymous content.
     */
-  private def decodeStreams(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])] = {
+  private def decodeStreams(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])] = {
     val n = bytes.length
-    val out = new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]
     var i = 0
     while (i < n) {
       val sPos = indexOf(bytes, "stream", i)
@@ -171,7 +175,7 @@ object PdfScanner {
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val data = if (dict.contains("/FlateDecode")) inflate(raw) else raw
           if (data != null)
-            out += ((objNumBefore(bytes, if (dictStart >= 0) dictStart else sPos), data))
+            out += ((objNumBefore(bytes, if (dictStart >= 0) dictStart else sPos), dict, data))
         }
         i = if (endPos < 0) n else math.max(endPos + 9, dataEnd)
       }
@@ -179,9 +183,66 @@ object PdfScanner {
     out
   }
 
+  /** /N and /First from an ObjStm dict; None when either is missing or
+    * implausible (N capped at 10k — bomb guard).
+    */
+  private val ObjStmNRe = """/N\s+(\d{1,5})""".r
+  private val ObjStmFirstRe = """/First\s+(\d{1,9})""".r
+
+  /** Expand a PDF 1.5 object stream (`/Type /ObjStm`): the decoded data
+    * opens with N (objnum, offset) integer pairs, then the concatenated
+    * object bodies starting at /First (offsets relative to it). Only
+    * DICT objects are harvested — the spec forbids streams inside an
+    * ObjStm, so this is exactly the route by which font/encoding dicts
+    * hide from the raw `N G obj` scan in modern PDFs. Lenient: any
+    * malformed header/offset yields what parsed so far.
+    */
+  private[graft] def parseObjStm(dict: String, data: Array[Byte]): Seq[(Int, String)] = {
+    val n = ObjStmNRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(return Nil)
+    val first = ObjStmFirstRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(return Nil)
+    if (n <= 0 || n > 10000 || first <= 0 || first > data.length) return Nil
+    // header: 2·N whitespace-separated integers within data[0, first)
+    val ints = new scala.collection.mutable.ArrayBuffer[Int](2 * n)
+    var i = 0
+    while (i < first && ints.length < 2 * n) {
+      while (i < first && !(data(i) >= '0' && data(i) <= '9')) i += 1
+      if (i < first) {
+        var v = 0L
+        while (i < first && data(i) >= '0' && data(i) <= '9' && v <= Int.MaxValue) {
+          v = v * 10 + (data(i) - '0'); i += 1
+        }
+        ints += math.min(v, Int.MaxValue).toInt
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]
+    var k = 0
+    while (k + 1 < ints.length) {
+      val objNum = ints(k)
+      val start = first.toLong + ints(k + 1)
+      if (start < data.length) {
+        var s = start.toInt
+        while (s < data.length && (data(s) == ' ' || data(s) == '\r' || data(s) == '\n' || data(s) == '\t')) s += 1
+        if (s + 1 < data.length && data(s) == '<' && data(s + 1) == '<') {
+          val text = new String(data, s, data.length - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+          out += ((objNum, text.substring(0, balancedDictEnd(text, 0))))
+        }
+      }
+      k += 2
+    }
+    out.toSeq
+  }
+
   private def extractImpl(bytes: Array[Byte]): SpanEmitter.Result = {
+    // streams first: object streams (/Type /ObjStm) may carry the very
+    // font dicts the encoding pre-pass needs — modern (PDF 1.5+) writers
+    // pack non-stream objects there, invisible to the raw `N G obj` scan
+    val streams = decodeStreams(bytes)
+    val objDicts = scanObjectDicts(bytes) ++ streams.flatMap {
+      case (_, dict, data) =>
+        if (dict.contains("/ObjStm")) parseObjStm(dict, data) else Nil
+    }
+
     // encoding pre-pass: object dicts → font resources + per-font decoder
-    val objDicts = scanObjectDicts(bytes)
     val fontNameToObj = new java.util.HashMap[String, Integer]()
     val fontEnc = new java.util.HashMap[Integer, (Decoder, Int)]() // obj → (base decoder, /ToUnicode obj or -1)
     val toUniObjs = new java.util.HashSet[Integer]()
@@ -195,14 +256,14 @@ object PdfScanner {
     }
 
     // stream pass: CMap streams feed font decoders, the rest is content
-    val streams = decodeStreams(bytes)
+    // (ObjStm payloads are object storage, never page content)
     val cmapByObj = new java.util.HashMap[Integer, CMapDec]()
     val contentStreams = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
-    streams.foreach { case (objNum, data) =>
+    streams.foreach { case (objNum, dict, data) =>
       if (objNum >= 0 && toUniObjs.contains(objNum) &&
           (hasToken(data, "beginbfchar") || hasToken(data, "beginbfrange")))
         cmapByObj.put(objNum, parseCMap(data))
-      else if (looksLikeContent(data)) contentStreams += data
+      else if (!dict.contains("/ObjStm") && looksLikeContent(data)) contentStreams += data
     }
     val fontMap = new java.util.HashMap[String, Decoder]()
     fontNameToObj.forEach { (name, obj) =>

@@ -152,6 +152,35 @@ class PdfSpec extends AnyFunSuite {
     assert(pdfs.count(_.contains("/ToUnicode")) > 60)
     assert(pdfs.count(_.contains("/Differences")) > 20)
     assert(pdfs.count(_.contains("/Identity-H")) > 60) // Type0 composite mode
+    assert(pdfs.count(_.contains("/ObjStm")) > 100)    // PDF 1.5 packaging
+    // the packaging × encoding grid is actually exercised crosswise
+    assert(pdfs.count(p => p.contains("/ObjStm") && p.contains("/Identity-H")) > 10)
+  }
+
+  test("ObjStm expansion: font dicts packed in an object stream still select decoders") {
+    // the PDF 1.5 writer shape: the WinAnsi font dict lives INSIDE a
+    // /Type /ObjStm stream — invisible to the raw `N G obj` scan, so
+    // without expansion the text would fall back to UTF-8 mojibake
+    val fontDict = "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>"
+    val header = "5 0\n"
+    val payload = header + fontDict + "\n"
+    val txt = "zürq—ölwë" // cp1252 bytes incl. the 0x80-0x9F zone
+    val hexs = "<" + txt.getBytes("windows-1252").map(b => f"${b & 0xff}%02x").mkString + ">"
+    val content = s"BT /F1 12 Tf $hexs Tj ET"
+    val pdf = ("%PDF-1.5\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n" + content + "\nendstream\nendobj\n" +
+      s"9 0 obj << /Type /ObjStm /N 1 /First ${header.length} /Length ${payload.length} >>\nstream\n" +
+      payload + "\nendstream\nendobj\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfScanner.extract(pdf).title == txt)
+    // malformed ObjStm headers never throw and never invent fonts
+    assert(PdfScanner.parseObjStm("<< /Type /ObjStm >>", payload.getBytes(UTF_8)).isEmpty)
+    assert(PdfScanner.parseObjStm("<< /Type /ObjStm /N 99999 /First 4 >>",
+      payload.getBytes(UTF_8)).isEmpty)
+    assert(PdfScanner.parseObjStm("<< /Type /ObjStm /N 1 /First 999 >>",
+      payload.getBytes(UTF_8)).isEmpty)
+    assert(PdfScanner.parseObjStm("<< /Type /ObjStm /N 1 /First 4 >>",
+      "5 9\nnot-a-dict".getBytes(UTF_8)).isEmpty)
   }
 
   test("Type0 /Identity-H: 2-byte CIDs decode through ToUnicode; descendant passes through") {
