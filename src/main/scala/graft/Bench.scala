@@ -145,11 +145,17 @@ object Bench {
     // change — VERDICT r4 "what's wrong" 1).
     def sweep(): Seq[(String, Double)] = {
       val sess = spark.newSession()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val out = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(sess, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      // drop this sweep's persisted memo caches before the next sweep
+      // builds its own copies — the shared block manager would otherwise
+      // hold N stale cache sets, and the eviction/GC pressure would
+      // systematically depress the later sweeps the median de-noises
+      sess.catalog.clearCache()
+      out
     }
     val sweeps = (1 to 3).map(_ => sweep())
     val totals = sweeps.map(_.map(_._2).sum)

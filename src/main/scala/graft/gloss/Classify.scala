@@ -217,8 +217,16 @@ object Classify {
     val bcIdf = slimDf.sparkSession.sparkContext
       .broadcast(idfFromTable(dfTableSlim(slimCached, bc.value))) // materializes the cache
     val out = runWithIdfSlim(slimCached, bc, bcIdf).persist(StorageLevel.MEMORY_AND_DISK)
-    materialize(out) // populates the classified cache from the slim cache
-    slimCached.unpersist()
+    // populate the classified cache from the slim cache; a partial
+    // materializer (take/show) is a CONTRACT VIOLATION — the slim cache
+    // is freed below, so unmaterialized classified partitions would
+    // silently re-extract from the raw source per later action
+    // (PipelineSpec pins the intended full-scan shape with an
+    // accumulator). The finally keeps an exception from materialize
+    // leaking the slim cache into a long-lived session's block manager.
+    try materialize(out)
+    catch { case e: Throwable => out.unpersist(); throw e }
+    finally slimCached.unpersist()
     out
   }
 

@@ -225,7 +225,7 @@ object Multimodal {
     (160 + (id % 10).toInt * 32, 120 + ((id / 3) % 10).toInt * 24,
       10 + (id % 290).toInt)
 
-  private def mp4Box(typ: String, content: Array[Byte]): Array[Byte] = {
+  private[graft] def mp4Box(typ: String, content: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + content.length)
     bb.putInt(8 + content.length); bb.put(typ.getBytes("US-ASCII")); bb.put(content)
     bb.array()
@@ -292,11 +292,15 @@ object Multimodal {
 
   /** MP4 box-walk parse → (width, height, frames, durationMs): `ftyp`
     * sniff, then a recursive descent into `moov` reading `mvhd`
-    * (timescale + duration → ms), `tkhd` v0 (16.16 width/height) and
-    * `stts` (sum of entry counts = frame count). Bounds-checked
-    * throughout; size<8 boxes, 64-bit `largesize` and truncated tails
-    * stop the walk leniently; any required field missing → None. This is
-    * the WAV-precedent route: container HEADERS need no codec.
+    * (timescale + duration → ms) and, per `trak`, `tkhd` v0 (16.16
+    * width/height) and `stts` (sum of entry counts = frame count). The
+    * FIRST trak with nonzero visual dims is adopted — multi-track files
+    * (video + audio, the normal real-world layout) must not let the
+    * audio trak's 0×0 tkhd or its sample-count stts clobber the video
+    * track's values. Bounds-checked throughout; size<8 boxes, 64-bit
+    * `largesize` and truncated tails stop the walk leniently; any
+    * required field missing → None. This is the WAV-precedent route:
+    * container HEADERS need no codec.
     */
   def parseMp4(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 16) return None
@@ -304,6 +308,43 @@ object Multimodal {
     var w = 0; var h = 0
     var frames = -1L
     var durMs = -1L
+
+    // one track's tkhd dims + stts entry sum, scoped to that trak's
+    // subtree — real files carry several traks (video + audio is the
+    // normal layout) and the audio trak's 0×0 tkhd / huge sample-count
+    // stts must not clobber the video trak's values
+    def parseTrak(from: Int, to: Int, depth: Int): (Int, Int, Long) = {
+      var tw = 0; var th = 0
+      var tf = -1L
+      def walk(f0: Int, t0: Int, d: Int): Unit = {
+        var i = f0
+        while (i + 8 <= t0) {
+          val size = be32(b, i).toLong & 0xffffffffL
+          if (size < 8) return
+          val end = math.min(i + size, t0.toLong).toInt
+          val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          typ match {
+            case "mdia" | "minf" | "stbl" => if (d < 8) walk(i + 8, end, d + 1)
+            case "tkhd" if end - i >= 92 && b(i + 8) == 0 =>
+              tw = be32(b, i + 84) >>> 16
+              th = be32(b, i + 88) >>> 16
+            case "stts" if end - i >= 16 && tf < 0 =>
+              val nEntries = be32(b, i + 12)
+              var f = 0L
+              var k = 0
+              while (k < nEntries && i + 16 + k * 8 + 8 <= end) {
+                f += be32(b, i + 16 + k * 8).toLong & 0xffffffffL; k += 1
+              }
+              tf = f
+            case _ => ()
+          }
+          i = end
+        }
+      }
+      walk(from, to, depth)
+      (tw, th, tf)
+    }
+
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
@@ -312,22 +353,15 @@ object Multimodal {
         val end = math.min(i + size, to.toLong).toInt
         val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         typ match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-            if (depth < 8) walk(i + 8, end, depth + 1)
+          case "moov" => if (depth < 8) walk(i + 8, end, depth + 1)
+          case "trak" if depth < 8 && w <= 0 =>
+            // adopt the FIRST trak with visual dims (the video track);
+            // keep scanning past dim-less (audio/hint) traks
+            val (tw, th, tf) = parseTrak(i + 8, end, depth + 1)
+            if (tw > 0 && th > 0) { w = tw; h = th; frames = tf }
           case "mvhd" if end - i >= 28 && b(i + 8) == 0 =>
             val ts = be32(b, i + 20)
             if (ts > 0) durMs = (be32(b, i + 24).toLong & 0xffffffffL) * 1000L / ts
-          case "tkhd" if end - i >= 92 && b(i + 8) == 0 =>
-            w = be32(b, i + 84) >>> 16
-            h = be32(b, i + 88) >>> 16
-          case "stts" if end - i >= 16 =>
-            val nEntries = be32(b, i + 12)
-            var f = 0L
-            var k = 0
-            while (k < nEntries && i + 16 + k * 8 + 8 <= end) {
-              f += be32(b, i + 16 + k * 8).toLong & 0xffffffffL; k += 1
-            }
-            frames = f
           case _ => () // ftyp, mdat, free, unknown — skip
         }
         i = end

@@ -214,16 +214,24 @@ object PdfScanner {
         ints += math.min(v, Int.MaxValue).toInt
       }
     }
+    // each object's slice is bounded by the NEXT object's offset (the
+    // header already provides it) — decoding to end-of-stream per object
+    // was O(N·dataLen) transient copies on the per-document hot path
+    val offsets = (1 until ints.length by 2).map(ints).sorted
     val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]
     var k = 0
     while (k + 1 < ints.length) {
       val objNum = ints(k)
-      val start = first.toLong + ints(k + 1)
+      val off = ints(k + 1)
+      val start = first.toLong + off
       if (start < data.length) {
+        val bound = offsets.find(_ > off)
+          .map(n => math.min(first.toLong + n, data.length.toLong).toInt)
+          .getOrElse(data.length)
         var s = start.toInt
-        while (s < data.length && (data(s) == ' ' || data(s) == '\r' || data(s) == '\n' || data(s) == '\t')) s += 1
-        if (s + 1 < data.length && data(s) == '<' && data(s + 1) == '<') {
-          val text = new String(data, s, data.length - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+        while (s < bound && (data(s) == ' ' || data(s) == '\r' || data(s) == '\n' || data(s) == '\t')) s += 1
+        if (s + 1 < bound && data(s) == '<' && data(s + 1) == '<') {
+          val text = new String(data, s, bound - s, java.nio.charset.StandardCharsets.ISO_8859_1)
           out += ((objNum, text.substring(0, balancedDictEnd(text, 0))))
         }
       }

@@ -156,11 +156,18 @@ object Checkpoint {
 
     val staged = if (inputPrePartitioned) {
       // declared layout: the input IS the staging — serve pruned
-      // per-unit reads straight from it, write no `_staged` copy
+      // per-unit reads straight from it, write no `_staged` copy.
+      // Filter NOT-in-done rather than in-planned: when the declaration
+      // is correct the two are identical (same partitions pruned), but a
+      // MIS-declared layout (e.g. bucketed with a different `buckets`)
+      // surfaces its out-of-range part_bucket values in the fingerprint
+      // pass below, where they fail loudly instead of being silently
+      // filtered out of the committed table forever.
       require(input.columns.contains("part_bucket"),
         "inputPrePartitioned=true requires a part_bucket column " +
           s"(= Checkpoint.bucketOf($keyCol, $buckets))")
-      input.filter(col("part_bucket").isin(planned: _*))
+      if (done.isEmpty) input
+      else input.filter(!col("part_bucket").isin(done.toSeq: _*))
     } else {
       // stage the uncommitted slices: the ONE full input scan of this
       // call. Clear any previous staging FIRST — a bucket that became
@@ -189,6 +196,12 @@ object Checkpoint {
         coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("fpxor"))
       .collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val badBuckets = fps.keys.filter(k => k < 0 || k >= buckets)
+    if (badBuckets.nonEmpty)
+      throw new IllegalArgumentException(
+        s"input part_bucket values ${badBuckets.toSeq.sorted.take(5).mkString(",")}… " +
+          s"outside [0, $buckets) — the pre-partitioned layout does not match " +
+          s"buckets=$buckets (rows would be silently dropped)")
 
     def runUnit(k: Int): Int = {
       if (failAtUnit.contains(k))

@@ -117,6 +117,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(hostile).isEmpty)
   }
 
+  test("MP4 multi-track: audio trak's 0x0 tkhd and sample-count stts never clobber video") {
+    // the normal real-world layout is video + audio traks; the parser
+    // must adopt the FIRST trak with visual dims, not the last trak seen
+    val body = "payload".getBytes("UTF-8")
+    val orig = Multimodal.mp4Bytes(640, 360, 77, body)
+    val mvhdBox = orig.slice(28, 28 + 108)
+    val videoTrak = orig.slice(136, 324) // trak box inside the synth moov
+    val mdat = orig.drop(324)
+    // audio-like trak: tkhd all-zero (0x0 dims), stts with one 48000-sample entry
+    val audioStts = java.nio.ByteBuffer.allocate(16)
+    audioStts.putInt(0); audioStts.putInt(1); audioStts.putInt(48000); audioStts.putInt(1)
+    val audioTrak = Multimodal.mp4Box("trak",
+      Multimodal.mp4Box("tkhd", new Array[Byte](84)) ++
+        Multimodal.mp4Box("mdia", Multimodal.mp4Box("minf",
+          Multimodal.mp4Box("stbl", Multimodal.mp4Box("stts", audioStts.array())))))
+    // audio trak FIRST — the hostile ordering for a last-wins parser
+    val multi = orig.slice(0, 20) ++
+      Multimodal.mp4Box("moov", mvhdBox ++ audioTrak ++ videoTrak) ++ mdat
+    assert(Multimodal.parseMp4(multi).contains((640, 360, 77, 77 * 50)))
+    // video first, audio second — also stable
+    val multi2 = orig.slice(0, 20) ++
+      Multimodal.mp4Box("moov", mvhdBox ++ videoTrak ++ audioTrak) ++ mdat
+    assert(Multimodal.parseMp4(multi2).contains((640, 360, 77, 77 * 50)))
+    // a file with ONLY dim-less traks stays None (no visual track)
+    val audioOnly = orig.slice(0, 20) ++
+      Multimodal.mp4Box("moov", mvhdBox ++ audioTrak) ++ mdat
+    assert(Multimodal.parseMp4(audioOnly).isEmpty)
+  }
+
   test("resize stub: bounded box, payload shrinks, header carries dims") {
     import spark.implicits._
     val resized = Multimodal.resizeStub(Multimodal.mediaTable(docs), 128, 128).collect()

@@ -241,6 +241,19 @@ class ResumeSpec extends AnyFunSuite {
         Files.createTempDirectory("ckpt_badpre").toString, buckets = 8,
         inputPrePartitioned = true)
     }
+    // a MIS-declared layout (bucketed for a different `buckets`) fails
+    // loudly before committing anything — the in-planned filter would
+    // have silently dropped every row with part_bucket >= buckets
+    val laidOut16 = Files.createTempDirectory("ckpt_prebucketed16").toString
+    input.withColumn("part_bucket", Checkpoint.bucketOf("doc_id", 16))
+      .write.mode("overwrite").partitionBy("part_bucket").parquet(laidOut16)
+    val outBad = Files.createTempDirectory("ckpt_misdeclared").toString
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.resume(spark, spark.read.parquet(laidOut16), "doc_id", transform,
+        outBad, buckets = 8, inputPrePartitioned = true)
+    }
+    assert(e.getMessage.contains("outside [0, 8)"))
+    assert(Checkpoint.committedUnits(outBad).isEmpty)
   }
 
   test("manifest lineage: fingerprints and counts recorded per unit") {
