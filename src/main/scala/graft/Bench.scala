@@ -297,6 +297,44 @@ object ScalingBench {
   }
 }
 
+/** Stage attribution for the fuzzy thread clustering — the most
+  * expensive operator family at every tier. Dev tool:
+  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.FuzzyProfile 2000000" }}}
+  * Each stage count RE-derives its upstream (nothing cached between
+  * ticks except fuzzyTitles' own cache), so ticks read as cumulative
+  * cost up to that stage.
+  */
+object FuzzyProfile {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val pq = Bench.corpusParquet(spark, nDocs, 128)
+    val bc = graft.gloss.Classify.dictsBroadcast(spark)
+    val classified = graft.gloss.Classify.runCachedSlim(
+      graft.extract.ExtractTitleExpr.run(spark.read.parquet(pq)), bc)
+    def tick(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
+    }
+    tick("full threadsFuzzy (cold) ")(graft.threads.Threads.threadsFuzzy(classified).count())
+    val titles = graft.threads.Threads.fuzzyTitles(classified.toDF())
+    tick("1 distinct titles        ")(titles.count())
+    val asDocs = titles.select(
+      org.apache.spark.sql.functions.col("tid").as("doc_id"),
+      org.apache.spark.sql.functions.col("title_norm").as("text"))
+    tick("2a candidates only       ")(graft.ops.Sketches
+      .minhashCandidatePairs(asDocs, shingleN = 1, bands = 4, rowsPerBand = 2).count())
+    val verified = graft.threads.Threads.fuzzyVerifiedPairs(titles)
+    tick("2 cand+verify pairs      ")(verified.count())
+    tick("3 + connected components ")(graft.ops.Dedup.connectedComponentsAuto(verified).count())
+    tick("full again (titles warm) ")(graft.threads.Threads.threadsFuzzy(classified).count())
+    titles.unpersist()
+    classified.unpersist()
+    spark.stop()
+  }
+}
+
 /** `runMain graft.PipeProfile [nDocs] [repeats]` — see [[ScalingBench.profile]]. */
 object PipeProfile {
   def main(args: Array[String]): Unit = {
