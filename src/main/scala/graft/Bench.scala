@@ -19,7 +19,11 @@ object Bench {
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
+    // default: one shuffle partition per core. SPARK_GRAFT_SHUFFLE
+    // overrides for granularity experiments (AQE can only coalesce DOWN
+    // from this number, so it is the upper bound on reduce parallelism)
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
