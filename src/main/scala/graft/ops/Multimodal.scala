@@ -292,8 +292,10 @@ object Multimodal {
 
   /** MP4 box-walk parse → (width, height, frames, durationMs): `ftyp`
     * sniff, then a recursive descent into `moov` reading `mvhd`
-    * (timescale + duration → ms) and, per `trak`, `tkhd` v0 (16.16
-    * width/height) and `stts` (sum of entry counts = frame count). The
+    * (timescale + duration → ms) and, per `trak`, `tkhd` (16.16
+    * width/height) and `stts` (sum of entry counts = frame count) —
+    * both v0 and v1 (64-bit times, the modern-muxer default) full-box
+    * layouts. The
     * FIRST trak with nonzero visual dims is adopted — multi-track files
     * (video + audio, the normal real-world layout) must not let the
     * audio trak's 0×0 tkhd or its sample-count stts clobber the video
@@ -328,6 +330,10 @@ object Multimodal {
             case "tkhd" if end - i >= 92 && b(i + 8) == 0 =>
               tw = be32(b, i + 84) >>> 16
               th = be32(b, i + 88) >>> 16
+            case "tkhd" if end - i >= 104 && b(i + 8) == 1 =>
+              // version 1: 64-bit times/duration shift the tail by 12
+              tw = be32(b, i + 96) >>> 16
+              th = be32(b, i + 100) >>> 16
             case "stts" if end - i >= 16 && tf < 0 =>
               val nEntries = be32(b, i + 12)
               var f = 0L
@@ -362,6 +368,12 @@ object Multimodal {
           case "mvhd" if end - i >= 28 && b(i + 8) == 0 =>
             val ts = be32(b, i + 20)
             if (ts > 0) durMs = (be32(b, i + 24).toLong & 0xffffffffL) * 1000L / ts
+          case "mvhd" if end - i >= 40 && b(i + 8) == 1 =>
+            // version 1: 64-bit creation/modification times and duration
+            val ts = be32(b, i + 28)
+            val dur = ((be32(b, i + 32).toLong & 0xffffffffL) << 32) |
+              (be32(b, i + 36).toLong & 0xffffffffL)
+            if (ts > 0) durMs = dur * 1000L / ts
           case _ => () // ftyp, mdat, free, unknown — skip
         }
         i = end

@@ -117,6 +117,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(hostile).isEmpty)
   }
 
+  test("MP4 version-1 boxes: 64-bit mvhd/tkhd layouts parse (modern-muxer default)") {
+    val body = "payload".getBytes("UTF-8")
+    val orig = Multimodal.mp4Bytes(640, 360, 77, body)
+    val videoTrakContent = orig.slice(144, 324) // tkhd..mdia inside the synth trak
+    val mdat = orig.drop(324)
+    // v1 mvhd: 64-bit ctime/mtime/duration, timescale 600, duration 77*30
+    val mvhd1 = java.nio.ByteBuffer.allocate(112)
+    mvhd1.putInt(0x01000000)           // version 1
+    mvhd1.putLong(0L); mvhd1.putLong(0L)
+    mvhd1.putInt(600); mvhd1.putLong(77L * 30)
+    // (rate/volume/matrix tail not read by the parser)
+    // v1 tkhd: 64-bit times/duration shift width/height to content +88/+92
+    val tkhd1 = java.nio.ByteBuffer.allocate(96)
+    tkhd1.putInt(0x01000007)
+    tkhd1.putLong(0L); tkhd1.putLong(0L)
+    tkhd1.putInt(1); tkhd1.putInt(0); tkhd1.putLong(77L * 30)
+    tkhd1.position(tkhd1.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved..matrix
+    tkhd1.putInt(640 << 16); tkhd1.putInt(360 << 16)
+    val origStts = orig.slice(324 - 32, 324) // the synth stts box (32 bytes)
+    val trak1 = Multimodal.mp4Box("trak",
+      Multimodal.mp4Box("tkhd", tkhd1.array()) ++
+        Multimodal.mp4Box("mdia", Multimodal.mp4Box("minf",
+          Multimodal.mp4Box("stbl", origStts))))
+    val v1 = orig.slice(0, 20) ++
+      Multimodal.mp4Box("moov", Multimodal.mp4Box("mvhd", mvhd1.array()) ++ trak1) ++ mdat
+    assert(Multimodal.parseMp4(v1).contains((640, 360, 77, 77 * 50)))
+    assert(videoTrakContent.nonEmpty) // slice sanity for the synth layout
+  }
+
   test("MP4 multi-track: audio trak's 0x0 tkhd and sample-count stts never clobber video") {
     // the normal real-world layout is video + audio traks; the parser
     // must adopt the FIRST trak with visual dims, not the last trak seen
