@@ -54,8 +54,24 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, verb, opts)
+    catch { case e: IllegalArgumentException =>
+      System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+    }
     finally spark.stop()
   }
+
+  /** Numeric option with a clean failure instead of a raw
+    * NumberFormatException stack trace.
+    */
+  private[graft] def longOpt(opts: Map[String, String], key: String, default: Long): Long =
+    opts.get(key) match {
+      case None => default
+      case Some(v) =>
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--$key must be a number, got '$v'\n$usage")
+        }
+    }
 
   /** Strict --flag value pairing: a dangling flag (odd arg count) or a
     * non-flag token where a flag is expected aborts with usage instead of
@@ -78,7 +94,7 @@ object Main {
     (opts.get("input"), opts.get("htmldir")) match {
       case (Some(dir), _) => spark.read.parquet(dir).as[Doc]
       case (_, Some(dir)) => graft.sources.HtmlDirSource.read(spark, dir) // the reference's `tgnews <verb> <dir>` shape
-      case _ => Synth.corpus(spark, 42L, opts.getOrElse("synth", "1000").toLong)
+      case _ => Synth.corpus(spark, 42L, longOpt(opts, "synth", 1000L))
     }
   }
 
@@ -152,7 +168,7 @@ object Main {
   def run(spark: SparkSession, verb: String, opts: Map[String, String]): Unit = {
     import spark.implicits._
     val docs = inputDocs(spark, opts)
-    val buckets = opts.getOrElse("buckets", "16").toInt
+    val buckets = longOpt(opts, "buckets", 16L).toInt
 
     // Checkpointed sink: commit units slice the INPUT by key hash, and the
     // transform runs per disjoint slice — resume recomputes only

@@ -42,6 +42,16 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parseOpts(Array("--synth", "100", "--fuzzy", "true")) ==
       Map("synth" -> "100", "fuzzy" -> "true"))
     assert(Main.parseOpts(Array.empty[String]).isEmpty)
+    // non-numeric numeric options fail with a message, not a raw
+    // NumberFormatException stack trace
+    val e3 = intercept[IllegalArgumentException] {
+      Main.run(spark, "threads", Map("synth" -> "100", "buckets" -> "lots", "out" -> "/tmp/x"))
+    }
+    assert(e3.getMessage.contains("--buckets"))
+    val e4 = intercept[IllegalArgumentException] {
+      Main.run(spark, "news", Map("synth" -> "many"))
+    }
+    assert(e4.getMessage.contains("--synth"))
   }
 
   test("languages: two frames (en, ru), article sets match ground truth") {
