@@ -31,13 +31,21 @@ object SparkEntry {
   }
 
   // Session-scoped persisted-dataset memos (shared SessionMemo helper —
-  // lock-free build + stopped-session pruning, see graft.util.SessionMemo)
+  // lock-free build + stopped-session pruning, see graft.util.SessionMemo).
+  // The race-loser discard is deliberately a NO-OP for dataset memos:
+  // Spark's CacheManager keys cache entries by CANONICALIZED PLAN, so a
+  // loser whose plan equals the winner's would, via unpersist(), evict
+  // the winner's cache entry too — the memoized Dataset would then
+  // silently recompute on every later action (r5 review). A loser with a
+  // distinct plan (fresh broadcast ids) leaks one cache entry until the
+  // session ends — bounded, and strictly safer than the eviction.
+  private def noDiscard[T]: T => Unit = _ => ()
   private val extractedCache =
-    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]](_._1)(_.unpersist())
+    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]](_._1)(noDiscard)
   private val classifiedCache =
-    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]](_._1)(_.unpersist())
+    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]](_._1)(noDiscard)
   private val pdfCache =
-    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]](_._1)(_.unpersist())
+    new graft.util.SessionMemo[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.ExtractedDoc]](_._1)(noDiscard)
 
   /** Extracted corpus for an sf dir, persisted ONCE per (session, dir)
     * and shared by [[classifiedFor]] and the span queries — the
@@ -68,7 +76,7 @@ object SparkEntry {
     }
 
   private val threadsCache =
-    new graft.util.SessionMemo[(SparkSession, String), DataFrame](_._1)(_.unpersist())
+    new graft.util.SessionMemo[(SparkSession, String), DataFrame](_._1)(noDiscard)
 
   /** Exact-title thread table for an sf dir, aggregated ONCE per
     * (session, dir) and persisted — the r5 pipeline shape: threads feed
@@ -86,9 +94,7 @@ object SparkEntry {
     }
 
   private val ivfCache =
-    new graft.util.SessionMemo[(SparkSession, String), (DataFrame, DataFrame)](_._1)({
-      case (a, p) => a.unpersist(); p.unpersist()
-    })
+    new graft.util.SessionMemo[(SparkSession, String), (DataFrame, DataFrame)](_._1)(noDiscard)
 
   /** IVF index (corpus assignments + query probe lists), trained ONCE per
     * (session, dir) and persisted — the build-once/search-many serving

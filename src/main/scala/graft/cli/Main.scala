@@ -33,7 +33,7 @@ object Main {
     val verb = args(0)
     val opts =
       try parseOpts(args.drop(1))
-      catch { case e: IllegalArgumentException =>
+      catch { case e: CliArgError =>
         System.err.println(e.getMessage); sys.exit(2)
       }
     if (!Set("languages", "news", "categories", "threads", "top", "debug").contains(verb)) {
@@ -54,23 +54,37 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, verb, opts)
-    catch { case e: IllegalArgumentException =>
+    catch { case e: CliArgError =>
       System.err.println(e.getMessage); spark.stop(); sys.exit(2)
     }
     finally spark.stop()
   }
 
-  /** Numeric option with a clean failure instead of a raw
-    * NumberFormatException stack trace.
+  /** User-input errors (bad flags/values) — the ONLY exception main
+    * turns into a clean usage message + exit 2. A plain
+    * IllegalArgumentException from deeper code (Scala `require`, Spark
+    * argument checks) keeps its stack trace: a programming error must
+    * not be disguised as a CLI typo.
     */
-  private[graft] def longOpt(opts: Map[String, String], key: String, default: Long): Long =
+  private[graft] final class CliArgError(msg: String) extends IllegalArgumentException(msg)
+
+  /** Numeric option with range validation and a clean failure instead of
+    * a raw NumberFormatException stack trace (or a silent Int wrap —
+    * `--buckets 4294967296` must not become buckets=0).
+    */
+  private[graft] def longOpt(opts: Map[String, String], key: String, default: Long,
+                             min: Long = 0L, max: Long = Long.MaxValue): Long =
     opts.get(key) match {
       case None => default
       case Some(v) =>
-        try v.toLong
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"--$key must be a number, got '$v'\n$usage")
-        }
+        val n =
+          try v.toLong
+          catch { case _: NumberFormatException =>
+            throw new CliArgError(s"--$key must be a number, got '$v'\n$usage")
+          }
+        if (n < min || n > max)
+          throw new CliArgError(s"--$key must be in [$min, $max], got $v\n$usage")
+        n
     }
 
   /** Strict --flag value pairing: a dangling flag (odd arg count) or a
@@ -82,7 +96,7 @@ object Main {
     rest.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
       case bad =>
-        throw new IllegalArgumentException(
+        throw new CliArgError(
           s"malformed arguments at '${bad.mkString(" ")}' (expected --flag value)\n$usage")
     }.toMap
 
@@ -168,7 +182,7 @@ object Main {
   def run(spark: SparkSession, verb: String, opts: Map[String, String]): Unit = {
     import spark.implicits._
     val docs = inputDocs(spark, opts)
-    val buckets = longOpt(opts, "buckets", 16L).toInt
+    val buckets = longOpt(opts, "buckets", 16L, min = 1L, max = 1000000L).toInt
 
     // Checkpointed sink: commit units slice the INPUT by key hash, and the
     // transform runs per disjoint slice — resume recomputes only

@@ -217,7 +217,15 @@ object PdfScanner {
     // each object's slice is bounded by the NEXT object's offset (the
     // header already provides it) — decoding to end-of-stream per object
     // was O(N·dataLen) transient copies on the per-document hot path
-    val offsets = (1 until ints.length by 2).map(ints).sorted
+    val offsets: Array[Int] = (1 until ints.length by 2).map(ints).sorted.toArray
+    // first offset strictly greater than `off`, by binary search (a
+    // linear find over the sorted array re-introduced O(N²) at /N=10k)
+    def nextOffsetAfter(off: Int): Int = {
+      var idx = java.util.Arrays.binarySearch(offsets, off)
+      if (idx < 0) idx = -idx - 1
+      else { while (idx < offsets.length && offsets(idx) == off) idx += 1 }
+      if (idx < offsets.length) offsets(idx) else Int.MaxValue
+    }
     val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]
     var k = 0
     while (k + 1 < ints.length) {
@@ -225,9 +233,8 @@ object PdfScanner {
       val off = ints(k + 1)
       val start = first.toLong + off
       if (start < data.length) {
-        val bound = offsets.find(_ > off)
-          .map(n => math.min(first.toLong + n, data.length.toLong).toInt)
-          .getOrElse(data.length)
+        val bound =
+          math.min(first.toLong + nextOffsetAfter(off), data.length.toLong).toInt
         var s = start.toInt
         while (s < bound && (data(s) == ' ' || data(s) == '\r' || data(s) == '\n' || data(s) == '\t')) s += 1
         if (s + 1 < bound && data(s) == '<' && data(s + 1) == '<') {

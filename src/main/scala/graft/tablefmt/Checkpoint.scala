@@ -166,8 +166,12 @@ object Checkpoint {
       require(input.columns.contains("part_bucket"),
         "inputPrePartitioned=true requires a part_bucket column " +
           s"(= Checkpoint.bucketOf($keyCol, $buckets))")
+      // NULL part_bucket rows (e.g. a __HIVE_DEFAULT_PARTITION__ dir)
+      // are kept IN so the fingerprint pass can reject them loudly — a
+      // bare `!isin(done)` is NULL for them, silently dropping the rows
       if (done.isEmpty) input
-      else input.filter(!col("part_bucket").isin(done.toSeq: _*))
+      else input.filter(col("part_bucket").isNull ||
+        !col("part_bucket").isin(done.toSeq: _*))
     } else {
       // stage the uncommitted slices: the ONE full input scan of this
       // call. Clear any previous staging FIRST — a bucket that became
@@ -190,12 +194,18 @@ object Checkpoint {
     // per-unit lineage fingerprints (XOR of key hashes — order/partition
     // independent, overflow-free) + counts: one keyCol-only columnar pass
     // over the staged slices, collected to O(buckets) driver rows
-    val fps: Map[Int, (Long, Long)] = staged
+    val fpRows = staged
       .groupBy(col("part_bucket"))
       .agg(count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("fpxor"))
       .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    if (fpRows.exists(_.isNullAt(0)))
+      throw new IllegalArgumentException(
+        "input contains NULL part_bucket values (e.g. a " +
+          "__HIVE_DEFAULT_PARTITION__ directory) — the pre-partitioned " +
+          "layout is invalid (rows would be silently dropped)")
+    val fps: Map[Int, (Long, Long)] =
+      fpRows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val badBuckets = fps.keys.filter(k => k < 0 || k >= buckets)
     if (badBuckets.nonEmpty)
       throw new IllegalArgumentException(

@@ -52,6 +52,18 @@ class CliSpec extends AnyFunSuite {
       Main.run(spark, "news", Map("synth" -> "many"))
     }
     assert(e4.getMessage.contains("--synth"))
+    // out-of-range values fail loudly instead of wrapping through .toInt
+    // (--buckets 4294967296 would have silently become buckets=0: an
+    // empty "fully committed" table while stdout printed real threads)
+    val e5 = intercept[IllegalArgumentException] {
+      Main.run(spark, "threads",
+        Map("synth" -> "100", "buckets" -> "4294967296", "out" -> "/tmp/x"))
+    }
+    assert(e5.getMessage.contains("--buckets"))
+    val e6 = intercept[IllegalArgumentException] {
+      Main.run(spark, "threads", Map("synth" -> "100", "buckets" -> "0", "out" -> "/tmp/x"))
+    }
+    assert(e6.getMessage.contains("--buckets"))
   }
 
   test("languages: two frames (en, ru), article sets match ground truth") {

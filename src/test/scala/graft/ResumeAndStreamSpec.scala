@@ -254,6 +254,33 @@ class ResumeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("outside [0, 8)"))
     assert(Checkpoint.committedUnits(outBad).isEmpty)
+    // NULL part_bucket rows (__HIVE_DEFAULT_PARTITION__) also fail
+    // loudly — both on a fresh run and on a resume (where a bare
+    // !isin(done) filter would have silently dropped them)
+    import org.apache.spark.sql.functions.{col => c, when, lit}
+    val laidNull = Files.createTempDirectory("ckpt_prebucketed_null").toString
+    input.withColumn("part_bucket",
+        when(c("doc_id") === "doc-00000", lit(null).cast("int"))
+          .otherwise(Checkpoint.bucketOf("doc_id", 8)))
+      .write.mode("overwrite").partitionBy("part_bucket").parquet(laidNull)
+    val outNull = Files.createTempDirectory("ckpt_nullbucket").toString
+    val en = intercept[IllegalArgumentException] {
+      Checkpoint.resume(spark, spark.read.parquet(laidNull), "doc_id", transform,
+        outNull, buckets = 8, inputPrePartitioned = true)
+    }
+    assert(en.getMessage.contains("NULL part_bucket"))
+    // resume path (some units already committed): the NOT-in-done filter
+    // must keep NULL rows in, so the rejection stays loud on resume too
+    intercept[RuntimeException] {
+      Checkpoint.resume(spark, pre, "doc_id", transform,
+        outNull, buckets = 8, failAtUnit = Some(4), inputPrePartitioned = true)
+    }
+    assert(Checkpoint.committedUnits(outNull) == Set(0, 1, 2, 3))
+    val en2 = intercept[IllegalArgumentException] {
+      Checkpoint.resume(spark, spark.read.parquet(laidNull), "doc_id", transform,
+        outNull, buckets = 8, inputPrePartitioned = true)
+    }
+    assert(en2.getMessage.contains("NULL part_bucket"))
   }
 
   test("manifest lineage: fingerprints and counts recorded per unit") {
