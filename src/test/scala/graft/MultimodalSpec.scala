@@ -175,6 +175,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(audioOnly).isEmpty)
   }
 
+  test("media parsers never throw: random bytes, truncations, bit flips") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(b)
+      Multimodal.parsePng(b); Multimodal.parseJpeg(b)
+      Multimodal.parseWav(b); Multimodal.parseMp4(b)
+      Multimodal.parseImageMeta(b)
+    }
+    val body = Array.fill(120)(0x41.toByte)
+    val valid = Seq(
+      Multimodal.mp4Bytes(64, 64, 10, body),
+      Multimodal.wavBytes(8000, 1, body),
+      Multimodal.pngBytes(32, 32, body),
+      Multimodal.jpegBytes(32, 32, body))
+    def parseAll(b: Array[Byte]): Unit = {
+      Multimodal.parsePng(b); Multimodal.parseJpeg(b)
+      Multimodal.parseWav(b); Multimodal.parseMp4(b)
+    }
+    // every truncation point of every valid payload
+    valid.foreach(v => (0 to v.length by 3).foreach(cut => parseAll(v.take(cut))))
+    // single-bit corruption across the headers
+    valid.foreach { v =>
+      (0 until math.min(v.length, 96)).foreach { pos =>
+        val m = v.clone(); m(pos) = (m(pos) ^ 0x80).toByte; parseAll(m)
+      }
+    }
+  }
+
   test("resize stub: bounded box, payload shrinks, header carries dims") {
     import spark.implicits._
     val resized = Multimodal.resizeStub(Multimodal.mediaTable(docs), 128, 128).collect()

@@ -173,6 +173,20 @@ class PdfSpec extends AnyFunSuite {
       s"9 0 obj << /Type /ObjStm /N 1 /First ${header.length} /Length ${payload.length} >>\nstream\n" +
       payload + "\nendstream\nendobj\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(PdfScanner.extract(pdf).title == txt)
+    // hostile ObjStm end-to-end: garbage headers/offsets inside a real
+    // stream wrapper must not throw or invent fonts
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(160)); rnd.nextBytes(junk)
+      val js = new String(junk.map(b => (b & 0x7f).toByte), UTF_8)
+      val hostile = ("%PDF-1.5\n" +
+        s"9 0 obj << /Type /ObjStm /N ${rnd.nextInt(20)} /First ${rnd.nextInt(200)} " +
+        s"/Length ${junk.length} >>\nstream\n").getBytes(UTF_8) ++ junk ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+      PdfScanner.extract(hostile) // never-throw contract
+      PdfScanner.parseObjStm(s"<< /Type /ObjStm /N 3 /First 10 >>", junk)
+      PdfScanner.parseObjStm(js, junk)
+    }
     // malformed ObjStm headers never throw and never invent fonts
     assert(PdfScanner.parseObjStm("<< /Type /ObjStm >>", payload.getBytes(UTF_8)).isEmpty)
     assert(PdfScanner.parseObjStm("<< /Type /ObjStm /N 99999 /First 4 >>",
