@@ -94,7 +94,12 @@ object Main {
     */
   private[graft] def parseOpts(rest: Array[String]): Map[String, String] =
     rest.sliding(2, 2).map {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      // a flag token is never a value: an even-count list like
+      // `--fuzzy --out` must not pair fuzzy="--out" and silently run
+      // exact clustering (ADVICE r5 — the even-count twin of the
+      // dangling-flag case below)
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
       case bad =>
         throw new CliArgError(
           s"malformed arguments at '${bad.mkString(" ")}' (expected --flag value)\n$usage")

@@ -361,10 +361,13 @@ object Multimodal {
         typ match {
           case "moov" => if (depth < 8) walk(i + 8, end, depth + 1)
           case "trak" if depth < 8 && w <= 0 =>
-            // adopt the FIRST trak with visual dims (the video track);
-            // keep scanning past dim-less (audio/hint) traks
+            // adopt the FIRST trak with visual dims AND a sample table
+            // (the complete video track); keep scanning past dim-less
+            // (audio/hint) traks and past dims-bearing-but-stts-less
+            // traks — a damaged/preview trak must not mask a complete
+            // video trak that follows it (ADVICE r5)
             val (tw, th, tf) = parseTrak(i + 8, end, depth + 1)
-            if (tw > 0 && th > 0) { w = tw; h = th; frames = tf }
+            if (tw > 0 && th > 0 && tf >= 0) { w = tw; h = th; frames = tf }
           case "mvhd" if end - i >= 28 && b(i + 8) == 0 =>
             val ts = be32(b, i + 20)
             if (ts > 0) durMs = (be32(b, i + 24).toLong & 0xffffffffL) * 1000L / ts

@@ -211,6 +211,10 @@ object PdfScanner {
         while (i < first && data(i) >= '0' && data(i) <= '9' && v <= Int.MaxValue) {
           v = v * 10 + (data(i) - '0'); i += 1
         }
+        // consume the rest of an oversized digit run: one hostile huge
+        // number must stay ONE header entry, not split into two and
+        // misalign every later (objnum, offset) pair (ADVICE r5)
+        while (i < first && data(i) >= '0' && data(i) <= '9') i += 1
         ints += math.min(v, Int.MaxValue).toInt
       }
     }

@@ -38,6 +38,13 @@ class CliSpec extends AnyFunSuite {
       Main.parseOpts(Array("synth", "100"))
     }
     assert(e2.getMessage.contains("synth"))
+    // a flag token consumed as a VALUE (even-count list) also aborts:
+    // `threads --fuzzy --out` must not pair fuzzy="--out" and silently
+    // run exact clustering (ADVICE r5)
+    val eFlagValue = intercept[IllegalArgumentException] {
+      Main.parseOpts(Array("--fuzzy", "--out"))
+    }
+    assert(eFlagValue.getMessage.contains("--fuzzy --out"))
     // well-formed pairs still parse
     assert(Main.parseOpts(Array("--synth", "100", "--fuzzy", "true")) ==
       Map("synth" -> "100", "fuzzy" -> "true"))

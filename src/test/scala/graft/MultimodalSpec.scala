@@ -173,6 +173,18 @@ class MultimodalSpec extends AnyFunSuite {
     val audioOnly = orig.slice(0, 20) ++
       Multimodal.mp4Box("moov", mvhdBox ++ audioTrak) ++ mdat
     assert(Multimodal.parseMp4(audioOnly).isEmpty)
+    // a dims-bearing but stts-less (damaged/preview) trak must not mask
+    // a complete video trak that follows it (ADVICE r5): before the fix
+    // the first trak's dims were adopted with frames=-1 → whole parse None
+    val tkhdOnly = orig.slice(144, 144 + 92) // the synth tkhd box, no stts
+    val brokenTrak = Multimodal.mp4Box("trak", tkhdOnly)
+    val brokenFirst = orig.slice(0, 20) ++
+      Multimodal.mp4Box("moov", mvhdBox ++ brokenTrak ++ videoTrak) ++ mdat
+    assert(Multimodal.parseMp4(brokenFirst).contains((640, 360, 77, 77 * 50)))
+    // a file with ONLY the broken trak still parses to None
+    val brokenOnly = orig.slice(0, 20) ++
+      Multimodal.mp4Box("moov", mvhdBox ++ brokenTrak) ++ mdat
+    assert(Multimodal.parseMp4(brokenOnly).isEmpty)
   }
 
   test("media parsers never throw: random bytes, truncations, bit flips") {

@@ -195,6 +195,15 @@ class PdfSpec extends AnyFunSuite {
       payload.getBytes(UTF_8)).isEmpty)
     assert(PdfScanner.parseObjStm("<< /Type /ObjStm /N 1 /First 4 >>",
       "5 9\nnot-a-dict".getBytes(UTF_8)).isEmpty)
+    // an oversized header number stays ONE entry after clamping — the
+    // leftover digits must not become a second int and misalign every
+    // later (objnum, offset) pair (ADVICE r5)
+    val bigHeader = "99999999999999999999 0 6 11\n"
+    val bigData = (bigHeader + "<< /A 1 >>\n<< /B 2 >>").getBytes(UTF_8)
+    val big = PdfScanner.parseObjStm(
+      s"<< /Type /ObjStm /N 2 /First ${bigHeader.length} >>", bigData)
+    assert(big.map(_._1) == Seq(Int.MaxValue, 6)) // alignment preserved
+    assert(big(1)._2 == "<< /B 2 >>")
   }
 
   test("Type0 /Identity-H: 2-byte CIDs decode through ToUnicode; descendant passes through") {
