@@ -327,8 +327,11 @@ object FuzzyProfile {
     val asDocs = titles.select(
       org.apache.spark.sql.functions.col("tid").as("doc_id"),
       org.apache.spark.sql.functions.col("title_norm").as("text"))
-    tick("2a candidates only       ")(graft.ops.Sketches
+    tick("2a candidates unfiltered ")(graft.ops.Sketches
       .minhashCandidatePairs(asDocs, shingleN = 1, bands = 4, rowsPerBand = 2).count())
+    tick("2b candidates ratio-filt ")(graft.ops.Sketches
+      .minhashCandidatePairs(asDocs, shingleN = 1, bands = 4, rowsPerBand = 2,
+        sizeRatioMinJaccard = 0.5).count())
     val verified = graft.threads.Threads.fuzzyVerifiedPairs(titles)
     tick("2 cand+verify pairs      ")(verified.count())
     tick("3 + connected components ")(graft.ops.Dedup.connectedComponentsAuto(verified).count())

@@ -163,8 +163,11 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, shingleN: Int = 3,
                    minJaccard: Double = 0.5): DataFrame = {
-    // anchor-star candidate pairs: linear in bucket size, no truncation
-    val cand = Sketches.minhashCandidatePairs(docs, shingleN)
+    // anchor-star candidate pairs: linear in bucket size, no truncation;
+    // the size-ratio prefilter is lossless for this same minJaccard
+    // (see Sketches.minhashCandidatePairs)
+    val cand = Sketches.minhashCandidatePairs(docs, shingleN,
+      sizeRatioMinJaccard = minJaccard)
     Sketches.jaccardVerify(docs, cand, shingleN, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
   }

@@ -131,6 +131,33 @@ object Sketches {
         slice(sort_array(collect_set(col("doc_id"))), 1, sampleK).as("doc_ids"))
       .filter(col("n") >= 2 && size(col("doc_ids")) >= 2)
 
+  /** (doc_id, sig, cnt) signatures + DISTINCT-shingle counts — the
+    * cnt-carrying twin of [[minhashSignatures]] (kept separate so the
+    * plain path never pays the per-doc distinct-count HashSet). `cnt` is
+    * exactly the set size [[jaccardVerify]] later intersects
+    * (`shingleHashes(text, n).distinct`), which is what makes the
+    * size-ratio bound below LOSSLESS.
+    */
+  private def minhashSignaturesCnt(docs: DataFrame, shingleN: Int,
+                                   numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sh = shingleHashes(text, shingleN)
+        val sig = minhash(sh, numHashes)
+        if (sig.isEmpty) None
+        else {
+          val set = new java.util.HashSet[java.lang.Long]()
+          var i = 0
+          while (i < sh.length) { set.add(sh(i)); i += 1 }
+          Some((id, sig, set.size))
+        }
+      })
+      .toDF("doc_id", "sig", "cnt")
+  }
+
   /** Candidate pairs from minhash bands WITHOUT per-bucket truncation:
     * each band bucket contributes (anchor=min member, other) star pairs —
     * O(bucket size) pairs, O(1) aggregation state (a min), and connected
@@ -138,17 +165,64 @@ object Sketches {
     * pair-generation shape that survives adversarial buckets (thousands
     * of templated near-identical docs), where a bounded member sample
     * would silently drop candidates.
+    *
+    * `sizeRatioMinJaccard` > 0 enables the LOSSLESS size-ratio prefilter
+    * (VERDICT r5 item 1): J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|)
+    * (|∩| ≤ min, |∪| ≥ max), so any pair whose distinct-shingle-count
+    * ratio falls below the verify threshold j cannot pass the exact
+    * Jaccard filter — dropping it here changes nothing downstream while
+    * skipping the wide shingle-array verify joins for pairs that can't
+    * pass. Worth it ONLY where set sizes are heavy-tailed (documents);
+    * on near-uniform sizes (titles, 3-10 tokens) the bound removes <1%
+    * of candidates while the count plumbing costs ~30% of the candidate
+    * stage — measured at 1.06M titles, see Threads.fuzzyVerifiedPairs.
+    * The filter arithmetic is the SAME
+    * correctly-rounded double division ≥ j the verify stage runs, and
+    * division is monotone in both operands, so
+    * fl(|∩|/|∪|) ≤ fl(min/max): a float edge can never drop a pair the
+    * exact filter would keep (SketchAccuracySpec pins equality). Pass
+    * the verify stage's own minJaccard; 0.0 = off.
     */
   def minhashCandidatePairs(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
-                            rowsPerBand: Int = 4): DataFrame = {
-    val banded = minhashBanded(docs, shingleN, bands, rowsPerBand)
-    val anchors = banded.groupBy(col("band"), col("bkey"))
-      .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-    banded.join(anchors, Seq("band", "bkey"))
-      .filter(col("doc_id") =!= col("anchor"))
-      .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
-      .distinct()
+                            rowsPerBand: Int = 4,
+                            sizeRatioMinJaccard: Double = 0.0): DataFrame = {
+    if (sizeRatioMinJaccard <= 0.0) {
+      val banded = minhashBanded(docs, shingleN, bands, rowsPerBand)
+      val anchors = banded.groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      banded.join(anchors, Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("anchor"))
+        .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+        .distinct()
+    } else {
+      // same banding shape, with cnt riding along (one int per row);
+      // min(struct(doc_id, cnt)) = the min-doc_id row (doc_id is unique
+      // within a bucket), so the anchor choice is IDENTICAL to the plain
+      // path — only provably-unverifiable pairs are dropped, before the
+      // distinct so the dedup shuffle shrinks too
+      val sig = minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand)
+      val banded = sig.select(
+        col("doc_id"), col("cnt"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("cnt"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val anchors = banded.groupBy(col("band"), col("bkey"))
+        .agg(min(struct(col("doc_id"), col("cnt"))).as("a"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("band"), col("bkey"),
+          col("a.doc_id").as("anchor"), col("a.cnt").as("anchor_cnt"))
+      banded.join(anchors, Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("anchor"))
+        .filter(least(col("cnt"), col("anchor_cnt")).cast("double") /
+          greatest(col("cnt"), col("anchor_cnt")) >= sizeRatioMinJaccard)
+        .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+        .distinct()
+    }
   }
 
   /** (doc_id, sh) 64-bit simhash per doc — shared base of the dup-group

@@ -67,6 +67,43 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(pairs == 200L * 199 / 2)
   }
 
+  test("size-ratio prefilter is lossless: verified pairs identical, candidate set strictly smaller") {
+    import spark.implicits._
+    // titles of strongly varying token counts sharing a common base —
+    // the fuzzy-thread shape (shingleN=1): same-size near-dups must
+    // survive, cross-size candidates whose count ratio already rules out
+    // Jaccard ≥ 0.5 must be dropped BEFORE the verify joins
+    val docs = (0 until 300).map { i =>
+      val base = "alpha beta gamma delta"
+      val extra = (0 until (i % 12)).map(k => s"w${i % 5}x$k").mkString(" ")
+      (i.toLong, if (extra.isEmpty) base else s"$base $extra")
+    }.toDF("doc_id", "text")
+    val unf = Sketches.minhashCandidatePairs(docs, shingleN = 1, bands = 4, rowsPerBand = 2)
+    val fil = Sketches.minhashCandidatePairs(docs, shingleN = 1, bands = 4, rowsPerBand = 2,
+      sizeRatioMinJaccard = 0.5)
+    val unfSet = unf.as[(Long, Long)].collect().toSet
+    val filSet = fil.as[(Long, Long)].collect().toSet
+    // soundness: the filter only ever REMOVES candidates…
+    assert(filSet.subsetOf(unfSet))
+    // …and it actually fires on this corpus (everything is deterministic
+    // — fnv/mix kernels, no RNG — so this inequality is stable)
+    assert(filSet.size < unfSet.size, s"${filSet.size} vs ${unfSet.size}")
+    // losslessness: the verify stage output is IDENTICAL either way
+    def verify(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Sketches.jaccardVerify(docs, cand, shingleN = 1, minJaccard = 0.5)
+        .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    val vU = verify(unf)
+    assert(vU == verify(fil))
+    assert(vU.nonEmpty) // the equality is not vacuous
+    // every dropped candidate is provably unverifiable: ratio < j ⇒ J < j
+    val cnts = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").distinct.length }.toMap
+    (unfSet -- filSet).foreach { case (a, b) =>
+      val r = math.min(cnts(a), cnts(b)).toDouble / math.max(cnts(a), cnts(b))
+      assert(r < 0.5, s"dropped pair ($a,$b) had ratio $r")
+    }
+  }
+
   test("simhash near pairs equal the brute-force hamming closure") {
     import spark.implicits._
     val docs = (0 until 120).map(i => (i.toLong, docText(i / 3))).toDF("doc_id", "text")
