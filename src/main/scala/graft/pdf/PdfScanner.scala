@@ -43,8 +43,17 @@ import graft.model.Span
   *    (`/Type /ObjStm`) are EXPANDED: their packed dict objects (the
   *    route by which modern writers hide font/encoding dicts from a raw
   *    byte scan) feed the same pre-pass — CMap streams themselves stay
-  *    top-level by spec. Named non-Identity CMaps and stream-form
-  *    `/Encoding N 0 R` stay out of scope;
+  *    top-level by spec. Stream-form `/Encoding N 0 R` (an indirect
+  *    reference to an embedded CMap stream) is RESOLVED through the
+  *    same pre-pass: the referenced CMap's codespacerange fixes the
+  *    code width (a 2-byte code space without a ToUnicode decodes one
+  *    U+FFFD per code instead of per-byte mojibake — CIDs are glyph
+  *    ids, unmappable without the font program), bf mappings found
+  *    there are honored leniently, and a `/ToUnicode` still wins.
+  *    Indirect `/Length N 0 R` stream lengths resolve through a lazy
+  *    integer-object scan (stream BYTES may legitimately contain the
+  *    `endstream` token, which would truncate the EOL-scan fallback).
+  *    Named predefined CMaps (`/UniGB-UCS2-H` …) stay out of scope;
   *  - `Do` placements are emitted as image spans in document order with
   *    `media_ref` = the XObject name (resource-dict indirection is not
   *    resolved — the NAME is the stable reference within the page).
@@ -137,9 +146,19 @@ object PdfScanner {
     * the stream has no parseable `N G obj` header — damaged input stays
     * usable as anonymous content.
     */
+  private val IndirectLenRe = """/Length\s+(\d{1,9})\s+\d+\s+R""".r
+
   private def decodeStreams(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])] = {
     val n = bytes.length
     val out = new scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]
+    // integer objects (`12 0 obj 345 endobj`) resolve indirect /Length
+    // refs; built lazily — most files carry only direct lengths
+    var intObjs: java.util.HashMap[Integer, Integer] = null
+    def indirectLength(dict: String): Option[Int] =
+      IndirectLenRe.findFirstMatchIn(dict).flatMap { m =>
+        if (intObjs == null) intObjs = scanIntObjects(bytes)
+        Option(intObjs.get(Integer.valueOf(m.group(1).toInt))).map(_.intValue)
+      }
     var i = 0
     while (i < n) {
       val sPos = indexOf(bytes, "stream", i)
@@ -158,11 +177,12 @@ object PdfScanner {
         val dict =
           if (dictStart < 0) ""
           else new String(bytes, dictStart, sPos - dictStart, java.nio.charset.StandardCharsets.ISO_8859_1)
-        // data bounds: a DIRECT /Length wins — binary stream bytes may
-        // legitimately end in 0x0a/0x0d, which the EOL-trim fallback
-        // (used for missing or indirect "/Length 4 0 R") would eat
-        val dataEnd = directLength(dict) match {
-          case Some(len) if len >= 0 && dataStart + len <= n => dataStart + len
+        // data bounds: a /Length wins, DIRECT or resolved-indirect —
+        // stream bytes may legitimately end in 0x0a/0x0d (eaten by the
+        // EOL-trim fallback) or even contain the `endstream` token
+        // itself (truncating the fallback mid-stream)
+        val dataEnd = directLength(dict).orElse(indirectLength(dict)) match {
+          case Some(len) if len >= 0 && dataStart.toLong + len <= n => dataStart + len
           case _ =>
             var e = if (endPos < 0) n else endPos
             if (e > dataStart && bytes(e - 1) == '\n') e -= 1
@@ -177,8 +197,53 @@ object PdfScanner {
           if (data != null)
             out += ((objNumBefore(bytes, if (dictStart >= 0) dictStart else sPos), dict, data))
         }
-        i = if (endPos < 0) n else math.max(endPos + 9, dataEnd)
+        // resume past the endstream that CLOSES this stream: when a
+        // length-resolved stream's bytes contain the token, `endPos` is
+        // the in-data impostor — the real close is at/after dataEnd
+        val resumeEnd =
+          if (endPos >= 0 && endPos < dataEnd) indexOf(bytes, "endstream", dataEnd)
+          else endPos
+        i = if (resumeEnd < 0) n else math.max(resumeEnd + 9, dataEnd)
       }
+    }
+    out
+  }
+
+  /** All integer objects (`N G obj 345 endobj`) — the layout of indirect
+    * `/Length` targets. Same lenient token-delimited `obj` walk as
+    * [[scanObjectDicts]]; only token-clean `int … endobj` bodies qualify.
+    */
+  private[graft] def scanIntObjects(bytes: Array[Byte]): java.util.HashMap[Integer, Integer] = {
+    val out = new java.util.HashMap[Integer, Integer]()
+    val n = bytes.length
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\r' || b == '\n' || b == '\t' || b == 0 || b == '\f'
+    var from = 0
+    while (from < n) {
+      val p = indexOf(bytes, "obj", from)
+      if (p < 0) return out
+      val beforeOk = p == 0 || isDelim(bytes(p - 1))
+      val afterOk = p + 3 >= n || isDelim(bytes(p + 3))
+      if (beforeOk && afterOk) {
+        val num = objNumBefore(bytes, p + 3)
+        var j = p + 3
+        while (j < n && isWs(bytes(j))) j += 1
+        if (num >= 0 && j < n && bytes(j) >= '0' && bytes(j) <= '9') {
+          var v = 0L
+          var digits = 0
+          while (j < n && bytes(j) >= '0' && bytes(j) <= '9' && digits < 10) {
+            v = v * 10 + (bytes(j) - '0'); j += 1; digits += 1
+          }
+          var k = j
+          while (k < n && isWs(bytes(k))) k += 1
+          val endobjOk = k + 6 <= n && bytes(k) == 'e' && bytes(k + 1) == 'n' &&
+            bytes(k + 2) == 'd' && bytes(k + 3) == 'o' && bytes(k + 4) == 'b' &&
+            bytes(k + 5) == 'j'
+          if (digits <= 9 && endobjOk && v <= Int.MaxValue)
+            out.put(num, v.toInt)
+        }
+      }
+      from = p + 3
     }
     out
   }
@@ -263,35 +328,55 @@ object PdfScanner {
 
     // encoding pre-pass: object dicts → font resources + per-font decoder
     val fontNameToObj = new java.util.HashMap[String, Integer]()
-    val fontEnc = new java.util.HashMap[Integer, (Decoder, Int)]() // obj → (base decoder, /ToUnicode obj or -1)
+    // obj → (base decoder, /ToUnicode obj or -1, stream-form /Encoding obj or -1)
+    val fontEnc = new java.util.HashMap[Integer, (Decoder, Int, Int)]()
     val toUniObjs = new java.util.HashSet[Integer]()
+    val encRefObjs = new java.util.HashSet[Integer]()
     objDicts.foreach { case (num, d) =>
       fontResourceRefs(d).foreach { case (name, obj) => fontNameToObj.put(name, obj) }
       if (FontTypeRe.findFirstIn(d).isDefined) {
         val toUni = ToUnicodeRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1)
-        fontEnc.put(num, (encodingDecoder(d), toUni))
+        val encRef = EncodingRefRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1)
+        fontEnc.put(num, (encodingDecoder(d), toUni, encRef))
         if (toUni >= 0) toUniObjs.add(toUni)
+        if (encRef >= 0) encRefObjs.add(encRef)
       }
     }
 
     // stream pass: CMap streams feed font decoders, the rest is content
     // (ObjStm payloads are object storage, never page content)
     val cmapByObj = new java.util.HashMap[Integer, CMapDec]()
+    val encCMapByObj = new java.util.HashMap[Integer, CMapDec]()
     val contentStreams = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     streams.foreach { case (objNum, dict, data) =>
       if (objNum >= 0 && toUniObjs.contains(objNum) &&
           (hasToken(data, "beginbfchar") || hasToken(data, "beginbfrange")))
         cmapByObj.put(objNum, parseCMap(data))
+      else if (objNum >= 0 && encRefObjs.contains(objNum) &&
+          (hasToken(data, "begincodespacerange") ||
+            hasToken(data, "beginbfchar") || hasToken(data, "beginbfrange")))
+        encCMapByObj.put(objNum, parseCMap(data))
       else if (!dict.contains("/ObjStm") && looksLikeContent(data)) contentStreams += data
     }
     val fontMap = new java.util.HashMap[String, Decoder]()
     fontNameToObj.forEach { (name, obj) =>
       val info = fontEnc.get(obj)
       if (info != null) {
-        val (baseDec, toUni) = info
+        val (baseDec, toUni, encRef) = info
         val dec =
           if (toUni >= 0 && cmapByObj.containsKey(toUni)) cmapByObj.get(toUni)
-          else baseDec
+          else if (encRef >= 0 && encCMapByObj.containsKey(encRef)) {
+            // a stream-form /Encoding CMap maps codes → CIDs, not to
+            // text: without a ToUnicode its usable information is the
+            // CODE WIDTH from its codespacerange (2-byte codes decode
+            // one U+FFFD per code, never per-byte mojibake — CIDs are
+            // glyph ids, unmappable without the font program). Writers
+            // that put bf mappings here get them honored leniently.
+            val ec = encCMapByObj.get(encRef)
+            if (!ec.map.isEmpty) ec
+            else if (ec.codeLen == 2) Identity2Dec
+            else baseDec
+          } else baseDec
         fontMap.put(name, dec)
       }
     }
@@ -315,6 +400,7 @@ object PdfScanner {
 
   private val FontTypeRe = """/Type\s*/Font""".r
   private val EncodingRe = """/Encoding\s*/([\w-]+)""".r // hyphen: Identity-H / Identity-V
+  private val EncodingRefRe = """/Encoding\s+(\d{1,9})\s+\d+\s+R""".r // stream-form indirect ref
   private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val FontRefRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
   private val BaseEncodingRe = """/BaseEncoding\s*/(\w+)""".r
@@ -529,19 +615,22 @@ object PdfScanner {
     if (i == numEnd || num > Int.MaxValue) -1 else num.toInt
   }
 
-  /** Parse a `/ToUnicode` CMap stream: `beginbfchar` pairs and
-    * `beginbfrange` triples (scalar `<lo> <hi> <dstStart>` — dst's last
-    * UTF-16 unit increments across the range — and array `<lo> <hi>
-    * [<d0> <d1> …]` forms). Code width (1 or 2 bytes) comes from the
-    * first src operand; expansion is capped at 65536 mappings (bomb
-    * guard). Dst hex decodes as UTF-16BE (multi-unit targets allowed).
+  /** Parse a `/ToUnicode` (or embedded `/Encoding`) CMap stream:
+    * `beginbfchar` pairs and `beginbfrange` triples (scalar `<lo> <hi>
+    * <dstStart>` — dst's last UTF-16 unit increments across the range —
+    * and array `<lo> <hi> [<d0> <d1> …]` forms). Code width (1 or 2
+    * bytes) comes from the first `codespacerange` operand, else the
+    * first bf src operand (an embedded /Encoding CMap carries cid
+    * mappings, not bf — its codespacerange is the usable signal);
+    * expansion is capped at 65536 mappings (bomb guard). Dst hex
+    * decodes as UTF-16BE (multi-unit targets allowed).
     */
   private[graft] def parseCMap(data: Array[Byte]): CMapDec = {
     val map = new java.util.HashMap[Integer, String]()
     var codeLen = 0
     val n = data.length
     var i = 0
-    var mode = 0 // 0 outside, 1 bfchar, 2 bfrange
+    var mode = 0 // 0 outside, 1 bfchar, 2 bfrange, 3 codespacerange
     val ops = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     var arr: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
     val MaxMappings = 65536
@@ -562,6 +651,7 @@ object PdfScanner {
     def onHex(s: Array[Byte]): Unit = {
       if (arr != null) { arr += s; return }
       mode match {
+        case 3 => noteCodeLen(s) // codespace bound fixes the code width
         case 1 =>
           ops += s
           if (ops.length == 2) {
@@ -613,7 +703,9 @@ object PdfScanner {
           case "endbfchar"    => mode = 0; ops.clear()
           case "beginbfrange" => mode = 2; ops.clear()
           case "endbfrange"   => mode = 0; ops.clear()
-          case _              => () // codespace bounds, names, numbers — noise here
+          case "begincodespacerange" => mode = 3; ops.clear()
+          case "endcodespacerange"   => mode = 0; ops.clear()
+          case _              => () // cid sections, names, numbers — noise here
         }
         i = j
       }

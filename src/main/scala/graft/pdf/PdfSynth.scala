@@ -25,14 +25,22 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *    for space + a-z + а-я declared via beginbfchar + two beginbfrange
   *    runs — en and ru docs), a dict-form `/Encoding` with
   *    `/Differences` overriding low codes with AGL glyph names +
-  *    a `uniXXXX` name (en docs), and a Type0 `/Identity-H` composite
+  *    a `uniXXXX` name (en docs), a Type0 `/Identity-H` composite
   *    font (en and ru docs): descendant CIDFont object + ToUnicode CMap
   *    whose a-z CID run spans the 0x00FF/0x0100 code-page boundary
-  *    (VERDICT r4 item 2);
+  *    (VERDICT r4 item 2), and a Type0 with STREAM-FORM `/Encoding
+  *    10 0 R` (en and ru docs): the ref resolves to an embedded CMap
+  *    stream (codespacerange + identity cidrange) alongside the same
+  *    descendant + ToUnicode (VERDICT r5 item 2);
   *  - PDF 1.5 packaging (~25% of kept docs, orthogonal to encoding
   *    mode): font + descendant dicts packed inside a `/Type /ObjStm`
   *    object stream (raw or Flate) instead of top-level objects —
-  *    exercises the scanner's object-stream expansion.
+  *    exercises the scanner's object-stream expansion;
+  *  - indirect `/Length 12 0 R` on the content stream (~25% of kept
+  *    UTF-8/literal docs), resolved via a bare integer object, with a
+  *    literal `endstream` token inside the first paragraph — the
+  *    endstream-scan fallback would truncate the content mid-paragraph,
+  *    so the span oracle distinguishes length resolution end-to-end.
   */
 object PdfSynth {
 
@@ -77,22 +85,34 @@ object PdfSynth {
       if (langRoll < 160) (EnWords, "en")
       else if (langRoll < 224) (RuWords, "ru")
       else (EsWords, "es") // dropped by the en/ru whitelist
-    val flate = (mix(h + 2) & 1L) == 0L
+    val flate0 = (mix(h + 2) & 1L) == 0L
     // string encoding: 0 = UTF-8, 2 = WinAnsi (en only — cp1252 carries
     // no Cyrillic; a ru WinAnsi roll falls back to UTF-8), 3 = 2-byte
     // ToUnicode CMap codes, 5 = Type0 /Identity-H composite font with a
-    // descendant CIDFont + ToUnicode (VERDICT r4 item 2; en and ru).
+    // descendant CIDFont + ToUnicode (VERDICT r4 item 2; en and ru),
+    // 6 = Type0 with STREAM-FORM /Encoding 10 0 R — an indirect ref to
+    // an embedded CMap stream (codespacerange + cidrange) — plus the
+    // same descendant + ToUnicode (VERDICT r5 item 2; en and ru).
     // Dropped-language docs stay UTF-8.
     val encRoll = (mix(h + 9) % 6).toInt.abs
     val encMode =
       if (lang == "es") 0
+      else if (encRoll == 1) 6
       else if (encRoll == 2 && lang == "en") 2
       else if (encRoll == 3) 3
       else if (encRoll == 4 && lang == "en") 4 // /Differences over WinAnsi
       else if (encRoll == 5) 5
       else 0
+    // indirect-/Length roll (VERDICT r5 item 2 companion): the content
+    // stream declares `/Length 12 0 R` resolved via a separate integer
+    // object, goes RAW with literal strings, and its first paragraph
+    // carries a literal `endstream` token — without indirect-length
+    // resolution the fallback scan truncates the content mid-paragraph,
+    // so the span oracle distinguishes the feature end-to-end
+    val indirectLen = lang != "es" && encMode == 0 && (mix(h + 13) & 3L) == 0L
+    val flate = flate0 && !indirectLen
     // PDF 1.5 packaging roll (~25% of kept docs, every encoding mode):
-    // the font dict (and the descendant CIDFont for mode 5) is packed
+    // the font dict (and the descendant CIDFont for modes 5/6) is packed
     // inside a /Type /ObjStm object stream instead of a top-level
     // `N G obj` object — pure packaging, spans unchanged; exercises the
     // scanner's ObjStm expansion (the modern-writer shape that hides
@@ -100,7 +120,8 @@ object PdfSynth {
     // (the spec forbids streams inside an ObjStm).
     val objStm = lang != "es" && (mix(h + 12) & 3L) == 0L
     // encoded modes always use hex strings (codes are raw bytes)
-    val hexStrings = encMode != 0 || (mix(h + 3) & 3L) == 0L // hex strings can't carry escapes
+    val hexStrings = !indirectLen &&
+      (encMode != 0 || (mix(h + 3) & 3L) == 0L) // hex strings can't carry escapes
     val nParas = 1 + (mix(h + 4) & 3L).toInt // 1-4
     val nImages = (mix(h + 5) % 3).toInt.abs  // 0-2
 
@@ -115,8 +136,10 @@ object PdfSynth {
       (0 until lines).map(l => words(pool, h + 100 + p * 10 + l, 4 + (mix(h + 7 + l) & 3L).toInt))
     }
     // one paragraph (when literal strings are on) carries delimiters + an
-    // octal escape to keep the escape table honest end-to-end
-    val escPara = !hexStrings && (mix(h + 8) & 3L) == 0L
+    // octal escape to keep the escape table honest end-to-end (mutually
+    // exclusive with the indirect-length endstream paragraph — both
+    // target paragraph 0 line 0)
+    val escPara = !indirectLen && !hexStrings && (mix(h + 8) & 3L) == 0L
 
     val content = new StringBuilder
     // CMap code table (encMode 3): space + a-z + а-я — everything the
@@ -127,7 +150,7 @@ object PdfSynth {
       else if (c >= 'a' && c <= 'z') 0x0200 + (c - 'a')
       else if (c >= 'а' && c <= 'я') 0x0300 + (c - 'а')
       else 0 // never produced by the generator's text
-    // Identity-H CIDs (encMode 5): the a-z run 0x00F0-0x0109 deliberately
+    // Type0 CIDs (encModes 5/6): the a-z run 0x00F0-0x0109 deliberately
     // SPANS the 0x00FF/0x0100 code-page boundary so the scanner's
     // 2-byte bfrange expansion is exercised across it
     def cidCode(c: Char): Int =
@@ -150,7 +173,7 @@ object PdfSynth {
         }.mkString + ">"
       case 3 => // 2-byte custom codes as a hex string
         "<" + s.map(c => f"${cmapCode(c)}%04x").mkString + ">"
-      case 5 => // Identity-H: 2-byte CIDs as a hex string
+      case 5 | 6 => // Type0 composite: 2-byte CIDs as a hex string
         "<" + s.map(c => f"${cidCode(c)}%04x").mkString + ">"
       case _ if hexStrings =>
         "<" + s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString + ">"
@@ -171,7 +194,10 @@ object PdfSynth {
       val shown = new scala.collection.mutable.ArrayBuffer[String]
       lines.zipWithIndex.foreach { case (line, l) =>
         val text =
-          if (escPara && p == 0 && l == 0) s"(paren) \\ qq A" // A arrives via octal \101; 'qq' is in no language profile
+          // indirect-/Length docs carry a literal `endstream` token the
+          // fallback scan would truncate at ('qq' is in no LangId profile)
+          if (indirectLen && p == 0 && l == 0) line + " endstream qq"
+          else if (escPara && p == 0 && l == 0) s"(paren) \\ qq A" // A arrives via octal \101; 'qq' is in no language profile
           // WinAnsi docs carry accented Latin + an em-dash (cp1252 0x97,
           // the 0x80-0x9F zone where cp1252 ≠ Latin-1): gibberish tokens
           // in no LangId profile, so the en vote is untouched
@@ -238,17 +264,23 @@ object PdfSynth {
     w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
     w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
       "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
-    w(s"4 0 obj << /Length ${contentBytes.length}" +
+    w(s"4 0 obj << /Length " +
+      (if (indirectLen) "12 0 R" else contentBytes.length.toString) +
       (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
     bos.write(contentBytes)
     w("\nendstream\nendobj\n")
-    // Type0 composite font (encMode 5), the real-world CID shape:
-    // Identity-H encoding, a descendant CIDFont (obj 8, pass-through for
-    // the scanner), and the ToUnicode CMap carrying the only text mapping
+    // the indirect-length target: a bare integer object (real-world
+    // writers emit it AFTER the stream, when the length becomes known)
+    if (indirectLen) w(s"12 0 obj ${contentBytes.length} endobj\n")
+    // Type0 composite font (encModes 5/6), the real-world CID shape:
+    // Identity-H (5) or a stream-form /Encoding ref (6), a descendant
+    // CIDFont (obj 8, pass-through for the scanner), and the ToUnicode
+    // CMap carrying the only text mapping
     val fontDictStr =
-      if (encMode == 5)
+      if (encMode == 5 || encMode == 6)
         "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
-          "/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 7 0 R >>"
+          (if (encMode == 5) "/Encoding /Identity-H " else "/Encoding 10 0 R ") +
+          "/DescendantFonts [8 0 R] /ToUnicode 7 0 R >>"
       else
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
           (if (encMode == 2) " /Encoding /WinAnsiEncoding" else "") +
@@ -258,7 +290,7 @@ object PdfSynth {
            else "") +
           " >>"
     val descDictStr =
-      if (encMode == 5)
+      if (encMode == 5 || encMode == 6)
         Some("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
           "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
           "/CIDToGIDMap /Identity >>")
@@ -283,9 +315,25 @@ object PdfSynth {
       w(s"5 0 obj $fontDictStr endobj\n")
       descDictStr.foreach(d => w(s"8 0 obj $d endobj\n"))
     }
-    if (encMode == 3 || encMode == 5) {
+    // the embedded /Encoding CMap stream (encMode 6): codespacerange
+    // (the code-width signal the scanner reads) + an identity cidrange
+    // over exactly the generator's CID runs — cid mappings, no bf
+    // sections, per spec. Top-level (streams can't live in an ObjStm).
+    if (encMode == 6) {
+      val enc = ("/CIDInit /ProcSet findresource begin\n" +
+        "begincmap\n/CMapName /GraftEnc def\n/CMapType 1 def\n" +
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n" +
+        "3 begincidrange\n<0003> <0003> 3\n<00f0> <0109> 240\n<0210> <022f> 528\nendcidrange\n" +
+        "endcmap\nend\n").getBytes("UTF-8")
+      val encBytes = if (flate) deflate(enc) else enc
+      w(s"10 0 obj << /Length ${encBytes.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      bos.write(encBytes)
+      w("\nendstream\nendobj\n")
+    }
+    if (encMode == 3 || encMode == 5 || encMode == 6) {
       // the ToUnicode CMap stream declaring the 2-byte codes: one bfchar
-      // (space) + two bfrange runs (a-z, а-я). The Identity-H a-z run
+      // (space) + two bfrange runs (a-z, а-я). The Type0 (5/6) a-z run
       // 0x00F0-0x0109 spans the 0x00FF/0x0100 code-page boundary.
       val ranges =
         if (encMode == 3) "2 beginbfrange\n<0200> <0219> <0061>\n<0300> <031f> <0430>\nendbfrange\n"
