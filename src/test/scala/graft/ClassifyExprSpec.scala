@@ -1,0 +1,64 @@
+package graft
+
+import graft.gloss.{Classify, ClassifyTitleExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClassifyTitleExpr (the Tungsten-native classification expression) vs
+  * the typed mapPartitions path — equivalence net + single-eval pin,
+  * mirroring ByteExtractSpec for the extraction expression.
+  */
+class ClassifyExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def norm(ds: org.apache.spark.sql.Dataset[graft.model.ClassifiedDoc]) =
+    ds.collect().map(d => (d.doc_id, d.lang, d.title_norm, d.category, d.is_news,
+      d.entities.view.mapValues(_.toList).toMap)).toSet
+
+  test("expression path ≡ typed path on the synth corpus (8k docs, IDF-gated)") {
+    val slim = graft.extract.ExtractTitleExpr.run(
+      graft.synth.Synth.corpus(spark, 42L, 8000L).toDF())
+      .persist()
+    val bc = Classify.dictsBroadcast(spark)
+    val bcIdf = spark.sparkContext.broadcast(
+      Classify.idfFromTable(Classify.dfTableSlim(slim, bc.value)))
+    val expr = norm(Classify.runWithIdfSlim(slim, bc, bcIdf))
+    val typed = norm(Classify.runWithIdfSlimTyped(slim, bc, bcIdf))
+    assert(expr == typed)
+    assert(expr.nonEmpty)
+    // the corpus actually exercises the interesting surface
+    assert(expr.exists(_._4.nonEmpty))         // some categorized
+    assert(expr.exists(!_._5))                 // some non-news
+    assert(expr.exists(_._6.nonEmpty))         // some entities
+    slim.unpersist()
+  }
+
+  test("the expression evaluates ONCE per row (CollapseProject must not duplicate it)") {
+    import spark.implicits._
+    val slim = Seq(
+      ("d1", "en", "putin meets congress on trade budget"),
+      ("d2", "en", "the quick brown fox"),
+      ("d3", "ru", "правительство россии обсуждает бюджет"))
+      .toDF("doc_id", "lang", "title_norm")
+    val bc = Classify.dictsBroadcast(spark)
+    val bcIdf = spark.sparkContext.broadcast(
+      Classify.idfFromTable(Classify.dfTableSlim(slim, bc.value)))
+    val out = Classify.runWithIdfSlim(slim, bc, bcIdf).toDF()
+    // all three derived columns consumed → still one eval per row
+    ClassifyTitleExpr.evalCount.reset()
+    val n = out.select("category", "is_news", "entities").collect().length
+    assert(n == 3)
+    assert(ClassifyTitleExpr.evalCount.sum() == 3L,
+      s"expected 3 evals, got ${ClassifyTitleExpr.evalCount.sum()}")
+    // a single-field projection stays at one eval per row too
+    ClassifyTitleExpr.evalCount.reset()
+    out.select("category").collect()
+    assert(ClassifyTitleExpr.evalCount.sum() == 3L)
+  }
+}
