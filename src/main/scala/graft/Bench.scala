@@ -161,7 +161,34 @@ object Bench {
       sess.catalog.clearCache()
       out
     }
-    val sweeps = (1 to 3).map(_ => sweep())
+    // tell-gated sweeps (VERDICT r5 item 5): all three sweeps share one
+    // time window, so co-tenant load contaminates the median TOGETHER —
+    // the per-sweep extraction tell (same-JVM, same cached parquet, ~2%
+    // of a sweep) is measured immediately before each sweep, and a sweep
+    // whose tell falls >40% below the session's own quiet reference (the
+    // best tell seen this session) gets ONE replacement attempt. All
+    // tells + retry count are disclosed in the artifact; a sweep still
+    // contaminated after its retry is flagged, not hidden.
+    var quietRef = nDocs / exprSec // from the best-of-3 warmups above
+    var sweepsRetried = 0
+    def tellNow(): Double = {
+      val t = nDocs / timeExtractParquetExpr(spark, pq)._2
+      if (t > quietRef) quietRef = t
+      t
+    }
+    val chosen = (1 to 3).map { _ =>
+      val tell0 = tellNow()
+      val run0 = sweep()
+      if (tell0 < 0.6 * quietRef && sweepsRetried < 2) {
+        sweepsRetried += 1
+        val tell1 = tellNow()
+        val run1 = sweep()
+        if (tell1 > tell0) (run1, tell1) else (run0, tell0)
+      } else (run0, tell0)
+    }
+    val sweeps = chosen.map(_._1)
+    val tells = chosen.map(_._2)
+    val flags = tells.map(_ < 0.6 * quietRef)
     val totals = sweeps.map(_.map(_._2).sum)
     val total = totals.sorted.apply(totals.size / 2) // median sweep total
     // per-query medians: robust against one co-tenant spike landing on a
@@ -175,6 +202,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""runs":[${totals.mkString(",")}],"median":$total,""" +
+      s""""sweep_tells_docs_per_sec":[${tells.map(_.round).mkString(",")}],""" +
+      s""""sweep_contaminated":[${flags.mkString(",")}],""" +
+      s""""sweeps_retried":$sweepsRetried,"quiet_ref_docs_per_sec":${quietRef.round},""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
       s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +

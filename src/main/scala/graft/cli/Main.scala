@@ -54,8 +54,14 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, verb, opts)
-    catch { case e: CliArgError =>
-      System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+    catch {
+      case e: CliArgError =>
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+      case e: DriftError =>
+        // --validate true found committed units whose input slices no
+        // longer match their sealed fingerprints: refuse to extend the
+        // table (exit 3 distinguishes drift from usage errors)
+        System.err.println(e.getMessage); spark.stop(); sys.exit(3)
     }
     finally spark.stop()
   }
@@ -67,6 +73,14 @@ object Main {
     * not be disguised as a CLI typo.
     */
   private[graft] final class CliArgError(msg: String) extends IllegalArgumentException(msg)
+
+  /** Raised by `--validate true` when committed units' input slices no
+    * longer match their sealed lineage fingerprints (VERDICT r5 item 6:
+    * a resumed production run must be able to ask "did my input drift
+    * under committed units?"). Main maps it to exit 3 + the drifted
+    * bucket listing on stderr.
+    */
+  private[graft] final class DriftError(msg: String) extends RuntimeException(msg)
 
   /** Numeric option with range validation and a clean failure instead of
     * a raw NumberFormatException stack trace (or a silent Int wrap —
@@ -106,7 +120,7 @@ object Main {
     }.toMap
 
   private val usage =
-    "usage: Main languages|news|categories|threads|top|debug [--input parquetDir | --htmldir htmlDir | --synth nDocs] [--out dir] [--buckets n] [--fuzzy true]"
+    "usage: Main languages|news|categories|threads|top|debug [--input parquetDir | --htmldir htmlDir | --synth nDocs] [--out dir] [--buckets n] [--fuzzy true] [--validate true]"
 
   private def inputDocs(spark: SparkSession, opts: Map[String, String]): Dataset[Doc] = {
     import spark.implicits._
@@ -191,10 +205,24 @@ object Main {
 
     // Checkpointed sink: commit units slice the INPUT by key hash, and the
     // transform runs per disjoint slice — resume recomputes only
-    // uncommitted slices, never the whole pipeline.
+    // uncommitted slices, never the whole pipeline. With --validate true,
+    // the opt-in lineage audit runs FIRST (one extra input scan): any
+    // committed unit whose current input slice no longer matches its
+    // sealed fingerprint aborts the run with the drifted-bucket listing —
+    // a drifted input must not be silently extended with fresh units
+    // while the stale committed slices stand.
     def writeOut(input: org.apache.spark.sql.DataFrame, keyCol: String,
                  transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
       opts.get("out").foreach { out =>
+        if (opts.get("validate").contains("true")) {
+          val drifted = Checkpoint.validateCommitted(spark, input, keyCol, out, buckets)
+          if (drifted.nonEmpty)
+            throw new DriftError(
+              s"input drift under committed units of $out: " +
+                s"buckets ${drifted.mkString(",")} no longer match their " +
+                "sealed lineage fingerprints (recompute the table or drop " +
+                "the drifted units' manifests to force their rewrite)")
+        }
         Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
       }
 

@@ -165,6 +165,36 @@ class CliSpec extends AnyFunSuite {
     assert(table == stdout, "table sink diverged from the printed fuzzy clustering")
   }
 
+  test("--validate true: input drift under committed units aborts with the bucket listing (VERDICT r5 item 6)") {
+    val out = java.nio.file.Files.createTempDirectory("validateout").toString
+    def run(opts: Map[String, String]): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, "threads", opts ++ Map("out" -> out, "buckets" -> "4"))
+      }
+    }
+    run(Map("synth" -> "300")) // commit the table
+    // same input + --validate: audit passes, resume is a manifest no-op
+    run(Map("synth" -> "300", "validate" -> "true"))
+    // mutated input: the audit must detect the drifted committed units
+    // and refuse to extend the table
+    val e = intercept[Main.DriftError] {
+      run(Map("synth" -> "500", "validate" -> "true"))
+    }
+    assert(e.getMessage.contains("drift") && e.getMessage.contains("buckets"))
+    // the audit blocked the write: the committed table still holds the
+    // 300-doc clustering (no fresh units from the drifted input)
+    val table = graft.tablefmt.Checkpoint.readCommitted(spark, out)
+    val want = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, "threads", Map("synth" -> "300"))
+      }
+      mapper.readTree(buf.toString("UTF-8")).size
+    }
+    assert(table.count() == want)
+  }
+
   test("golden parity: all five verbs byte-exact vs checked-in goldens") {
     // VERDICT r2 item 6: the reference printer shapes (src/printer.rs:6-62,
     // glossary.rs:218-278) over the fixed seeded fixture, diffed byte for
