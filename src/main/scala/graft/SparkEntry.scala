@@ -26,7 +26,14 @@ object SparkEntry {
     * reference's corpus-size-dependent tantivy scores.
     */
   def extractedFor(spark: SparkSession, dir: String) = {
-    val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 8000L else 1000L
+    // sf1 is the builder-promoted 10x tier (VERDICT r5 item 4; generated
+    // by tools/make_sf1.py — dir name carries "sf1", which is not a
+    // substring of any driver tier name)
+    val n =
+      if (dir.contains("sf0.1")) 20000L
+      else if (dir.contains("sf0.01")) 8000L
+      else if (dir.contains("sf1")) 200000L
+      else 1000L
     Synth.extracted(spark, seed = 42L, nDocs = n)
   }
 
@@ -140,7 +147,11 @@ object SparkEntry {
     * HTML path produces, sharing Extract.gate.
     */
   def pdfExtractedFor(spark: SparkSession, dir: String) = {
-    val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 2000L else 500L
+    val n =
+      if (dir.contains("sf0.1")) 5000L
+      else if (dir.contains("sf0.01")) 2000L
+      else if (dir.contains("sf1")) 50000L
+      else 500L
     graft.pdf.PdfExtract.run(graft.pdf.PdfSynth.corpus(spark, seed = 43L, nDocs = n))
   }
 
