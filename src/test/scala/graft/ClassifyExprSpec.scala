@@ -41,11 +41,14 @@ class ClassifyExprSpec extends AnyFunSuite {
 
   test("the expression evaluates ONCE per row (CollapseProject must not duplicate it)") {
     import spark.implicits._
+    // repartition blocks ConvertToLocalRelation — a bare Seq-backed
+    // LocalRelation would be constant-folded on the driver and the plan
+    // assertions below would see no expression at all
     val slim = Seq(
       ("d1", "en", "putin meets congress on trade budget"),
       ("d2", "en", "the quick brown fox"),
       ("d3", "ru", "правительство россии обсуждает бюджет"))
-      .toDF("doc_id", "lang", "title_norm")
+      .toDF("doc_id", "lang", "title_norm").repartition(2)
     val bc = Classify.dictsBroadcast(spark)
     val bcIdf = spark.sparkContext.broadcast(
       Classify.idfFromTable(Classify.dfTableSlim(slim, bc.value)))
@@ -60,5 +63,12 @@ class ClassifyExprSpec extends AnyFunSuite {
     ClassifyTitleExpr.evalCount.reset()
     out.select("category").collect()
     assert(ClassifyTitleExpr.evalCount.sum() == 3L)
+    // the hot path is object-free: no encoder boundary survives in the
+    // optimized plan (the point of VERDICT r5 item 3)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    assert(plan.contains("classify_title"))
   }
 }
