@@ -176,18 +176,29 @@ object Bench {
       if (t > quietRef) quietRef = t
       t
     }
-    val chosen = (1 to 3).map { _ =>
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Seq[(String, Double)], Double)]
+    (1 to 3).foreach { _ =>
       val tell0 = tellNow()
       val run0 = sweep()
-      if (tell0 < 0.6 * quietRef && sweepsRetried < 2) {
+      chosen += ((run0, tell0))
+    }
+    // retry pass AFTER all three sweeps, judged against the FINAL quiet
+    // reference: an online gate misjudges early sweeps when the session
+    // starts loaded (the running reference is itself depressed), and
+    // the disclosed flags must agree with the retry decisions — one
+    // reference for both (r6 review)
+    var idx = 0
+    while (idx < chosen.length && sweepsRetried < 2) {
+      if (chosen(idx)._2 < 0.6 * quietRef) {
         sweepsRetried += 1
         val tell1 = tellNow()
         val run1 = sweep()
-        if (tell1 > tell0) (run1, tell1) else (run0, tell0)
-      } else (run0, tell0)
+        if (tell1 > chosen(idx)._2) chosen(idx) = ((run1, tell1))
+      }
+      idx += 1
     }
-    val sweeps = chosen.map(_._1)
-    val tells = chosen.map(_._2)
+    val sweeps = chosen.toSeq.map(_._1)
+    val tells = chosen.toSeq.map(_._2)
     val flags = tells.map(_ < 0.6 * quietRef)
     val totals = sweeps.map(_.map(_._2).sum)
     val total = totals.sorted.apply(totals.size / 2) // median sweep total

@@ -145,17 +145,23 @@ object Main {
     * classification is a single corpus scan, no per-job IDF recompute.
     * Returns the persisted classified Dataset (scored with the GLOBAL
     * IDF — checkpointed sinks slice THESE rows rather than re-classifying
-    * per slice) plus a `release` thunk the verb calls when done. There is
-    * deliberately NO materializing count() here (VERDICT r4 item 1): the
-    * verb's first action — the checkpoint staging write or the stdout
-    * aggregation — populates the classify cache as part of its own job,
-    * saving one full pass over the corpus and one serialized job
-    * boundary. The extraction cache therefore stays persisted (it backs
-    * any not-yet-computed classified partitions) until `release`, which
-    * frees both.
+    * per slice), a `release` thunk the verb calls when done, and a
+    * `commitIdf` thunk that persists the `$out/_idf` sidecar. The sidecar
+    * write is DEFERRED to commitIdf (called after the verb's checkpoint
+    * write, i.e. after the `--validate` drift audit had its chance to
+    * abort): a validate run that detects drift must leave `$out` fully
+    * untouched — the r6 review found the old shape overwriting `_idf`
+    * with the drifted corpus's IDF before the audit ran (r6 review #1).
+    * There is deliberately NO materializing count() here (VERDICT r4
+    * item 1): the verb's first action — the checkpoint staging write or
+    * the stdout aggregation — populates the classify cache as part of
+    * its own job, saving one full pass over the corpus and one
+    * serialized job boundary. The extraction cache therefore stays
+    * persisted (it backs any not-yet-computed classified partitions)
+    * until `release`, which frees both.
     */
   private def classifySteadyState(spark: SparkSession, docs: Dataset[Doc],
-      opts: Map[String, String]): (Dataset[graft.model.ClassifiedDoc], () => Unit) = {
+      opts: Map[String, String]): (Dataset[graft.model.ClassifiedDoc], () => Unit, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     // session-memoized dictionary broadcast (VERDICT r3 item 6)
@@ -166,7 +172,7 @@ object Main {
     // verb, which does need spans, runs the full expression itself.
     val extracted = graft.extract.ExtractTitleExpr.run(docs.toDF())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val idf = opts.get("out") match {
+    val (idf, commitIdf): (graft.gloss.TokenIdf, () => Unit) = opts.get("out") match {
       case Some(out) =>
         val idfDir = s"$out/_idf"
         val fpFile = java.nio.file.Paths.get(s"$out/_idf_fp")
@@ -184,18 +190,30 @@ object Main {
         val fresh = java.nio.file.Files.exists(fpFile) &&
           java.nio.file.Files.readString(fpFile).trim == fp &&
           new java.io.File(idfDir, "_SUCCESS").exists
-        if (!fresh) {
-          Classify.dfTableSlim(extracted, bc.value)
-            .coalesce(1).write.mode("overwrite").parquet(idfDir)
-          java.nio.file.Files.writeString(fpFile, fp)
+        if (fresh) (Classify.idfFromTable(spark.read.parquet(idfDir)), () => ())
+        else {
+          // collect the bounded count set now (≤ vocabulary+1 rows),
+          // persist it only when the verb commits — a death between the
+          // table write and this sidecar write is safe: the next run
+          // sees a stale fingerprint and recomputes the same IDF from
+          // the same corpus before resuming
+          val counts = Classify.dfTableSlim(extracted, bc.value)
+            .select(col("token"), col("df").cast("long"))
+            .as[(String, Long)].collect()
+          (Classify.idfFromCounts(counts), () => {
+            counts.toSeq.toDF("token", "df")
+              .coalesce(1).write.mode("overwrite").parquet(idfDir)
+            java.nio.file.Files.writeString(fpFile, fp)
+            ()
+          })
         }
-        Classify.idfFromTable(spark.read.parquet(idfDir))
-      case None => Classify.idfFromTable(Classify.dfTableSlim(extracted, bc.value))
+      case None =>
+        (Classify.idfFromTable(Classify.dfTableSlim(extracted, bc.value)), () => ())
     }
     val bcIdf = spark.sparkContext.broadcast(idf)
     val classified = Classify.runWithIdfSlim(extracted, bc, bcIdf)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    (classified, () => { extracted.unpersist(); classified.unpersist(); () })
+    (classified, () => { extracted.unpersist(); classified.unpersist(); () }, commitIdf)
   }
 
   def run(spark: SparkSession, verb: String, opts: Map[String, String]): Unit = {
@@ -251,36 +269,39 @@ object Main {
         extracted.unpersist()
 
       case "news" | "categories" =>
-        val (classified, release) = classifySteadyState(spark, docs, opts)
+        val (classified, release, commitIdf) = classifySteadyState(spark, docs, opts)
         // the table slices the PERSISTED classified rows (already scored
         // with the global IDF) — classification runs once, not once for
-        // stdout plus once per commit unit
-        writeOut(classified.toDF()
-          .select(col("doc_id"), col("lang"), col("title_norm"),
-            col("category"), col("is_news")),
-          "doc_id", identity)
-        if (verb == "news") {
-          val ids = classified.filter(_.is_news).map(_.doc_id)
-            .take(MaxCliRows).sorted
-          println(s"""{"articles": [${ids.map(jsonStr).mkString(", ")}]}""")
-        } else {
-          val cats = classified.filter(_.category.nonEmpty)
-            .groupByKey(_.category)
-            .mapGroups((c, it) => (c, it.map(_.doc_id).take(MaxCliRows).toArray.sorted))
-            .collect().sortBy(_._1)
-          val frames = cats.map { case (c, ids) =>
-            s"""{"category": ${jsonStr(c)}, "articles": [${ids.map(jsonStr).mkString(", ")}]}"""
+        // stdout plus once per commit unit. try/finally: a DriftError
+        // from writeOut's audit must still release the caches.
+        try {
+          writeOut(classified.toDF()
+            .select(col("doc_id"), col("lang"), col("title_norm"),
+              col("category"), col("is_news")),
+            "doc_id", identity)
+          commitIdf() // sidecar only after the audit + table write stood
+          if (verb == "news") {
+            val ids = classified.filter(_.is_news).map(_.doc_id)
+              .take(MaxCliRows).sorted
+            println(s"""{"articles": [${ids.map(jsonStr).mkString(", ")}]}""")
+          } else {
+            val cats = classified.filter(_.category.nonEmpty)
+              .groupByKey(_.category)
+              .mapGroups((c, it) => (c, it.map(_.doc_id).take(MaxCliRows).toArray.sorted))
+              .collect().sortBy(_._1)
+            val frames = cats.map { case (c, ids) =>
+              s"""{"category": ${jsonStr(c)}, "articles": [${ids.map(jsonStr).mkString(", ")}]}"""
+            }
+            println(frames.mkString("[\n", ",\n", "\n]"))
           }
-          println(frames.mkString("[\n", ",\n", "\n]"))
-        }
-        release()
+        } finally release()
 
       case "debug" =>
         // counters + stage timings (reference: src/main.rs:159-187)
         val t0 = System.nanoTime()
         val nInput = docs.count()
         val t1 = System.nanoTime()
-        val (classified, release) = classifySteadyState(spark, docs, opts)
+        val (classified, release, commitIdf) = classifySteadyState(spark, docs, opts)
         val nKept = classified.count()
         val t2 = System.nanoTime()
         val byLang = classified.groupByKey(_.lang).count().collect().toMap
@@ -295,6 +316,7 @@ object Main {
           s""""n_distinct_titles": $nTitles, "n_threads": $nThreads, """ +
           s""""scan_ms": ${ms(t0, t1)}, "extract_classify_ms": ${ms(t1, t2)}, """ +
           s""""threads_ms": ${ms(t2, t3)}}""")
+        commitIdf()
         release()
 
       case "threads" | "top" =>
@@ -305,46 +327,53 @@ object Main {
         // commit units slice by it — stdout and the table now come from
         // the SAME clustering (VERDICT r3 item 3: the old sink silently
         // wrote exact-title threads under --fuzzy).
-        val (classified, release) = classifySteadyState(spark, docs, opts)
-        val fuzzyKeyed =
-          if (opts.get("fuzzy").contains("true"))
-            Some(Threads.fuzzyKeyed(classified.toDF())
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          else None
-        val th = fuzzyKeyed match {
-          case Some(keyed) =>
-            writeOut(keyed, "component", df => Threads.threadsFromKeyed(df))
-            Threads.threadsFromKeyed(keyed)
-          case None =>
-            writeOut(classified.toDF(), "title_norm",
-              df => Threads.threads(df.as[graft.model.ClassifiedDoc]))
-            Threads.threads(classified)
-        }
-        if (verb == "threads") {
-          val rows = Threads.ranked(th)
-            .select($"title_norm", $"articles")
-            .as[(String, Seq[String])].take(MaxCliRows)
-          val frames = rows.map { case (t, a) =>
-            s"""{"title": ${jsonStr(t)}, "articles": [${a.map(jsonStr).mkString(", ")}]}"""
+        val (classified, release, commitIdf) = classifySteadyState(spark, docs, opts)
+        var fuzzyKeyed: Option[org.apache.spark.sql.DataFrame] = None
+        // try/finally: a DriftError from writeOut's audit must still
+        // release the classify + fuzzy caches
+        try {
+          fuzzyKeyed =
+            if (opts.get("fuzzy").contains("true"))
+              Some(Threads.fuzzyKeyed(classified.toDF())
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            else None
+          val th = fuzzyKeyed match {
+            case Some(keyed) =>
+              writeOut(keyed, "component", df => Threads.threadsFromKeyed(df))
+              Threads.threadsFromKeyed(keyed)
+            case None =>
+              writeOut(classified.toDF(), "title_norm",
+                df => Threads.threads(df.as[graft.model.ClassifiedDoc]))
+              Threads.threads(classified)
           }
-          println(frames.mkString("[\n", ",\n", "\n]"))
-        } else {
-          val rows = Threads.top(th)
-            .select($"category", $"rank", $"title_norm", $"articles")
-            .as[(String, Int, String, Seq[String])].collect()
-          val frames = rows.groupBy(_._1).toSeq.sortBy {
-            case ("any", _) => "" // any first, as the reference prints it
-            case (c, _)     => c
-          }.map { case (cat, ts) =>
-            val threads = ts.sortBy(_._2).map { case (_, _, t, a) =>
+          commitIdf() // sidecar only after the audit + table write stood
+          if (verb == "threads") {
+            val rows = Threads.ranked(th)
+              .select($"title_norm", $"articles")
+              .as[(String, Seq[String])].take(MaxCliRows)
+            val frames = rows.map { case (t, a) =>
               s"""{"title": ${jsonStr(t)}, "articles": [${a.map(jsonStr).mkString(", ")}]}"""
             }
-            s"""{"category": ${jsonStr(cat)}, "threads": [${threads.mkString(", ")}]}"""
+            println(frames.mkString("[\n", ",\n", "\n]"))
+          } else {
+            val rows = Threads.top(th)
+              .select($"category", $"rank", $"title_norm", $"articles")
+              .as[(String, Int, String, Seq[String])].collect()
+            val frames = rows.groupBy(_._1).toSeq.sortBy {
+              case ("any", _) => "" // any first, as the reference prints it
+              case (c, _)     => c
+            }.map { case (cat, ts) =>
+              val threads = ts.sortBy(_._2).map { case (_, _, t, a) =>
+                s"""{"title": ${jsonStr(t)}, "articles": [${a.map(jsonStr).mkString(", ")}]}"""
+              }
+              s"""{"category": ${jsonStr(cat)}, "threads": [${threads.mkString(", ")}]}"""
+            }
+            println(frames.mkString("[\n", ",\n", "\n]"))
           }
-          println(frames.mkString("[\n", ",\n", "\n]"))
+        } finally {
+          fuzzyKeyed.foreach(_.unpersist())
+          release()
         }
-        fuzzyKeyed.foreach(_.unpersist())
-        release()
     }
   }
 }

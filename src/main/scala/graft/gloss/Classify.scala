@@ -130,7 +130,15 @@ object Classify {
     */
   def idfFromTable(table: org.apache.spark.sql.DataFrame): TokenIdf = {
     import table.sparkSession.implicits._
-    val counts = table.select($"token", $"df".cast("long")).as[(String, Long)].collect()
+    idfFromCounts(table.select($"token", $"df".cast("long")).as[(String, Long)].collect())
+  }
+
+  /** [[idfFromTable]] over already-collected (token, df) rows — lets a
+    * caller hold the bounded count set (≤ vocabulary+1 rows) and decide
+    * separately when/whether to persist it (the CLI defers the `_idf`
+    * sidecar write until after the `--validate` drift audit).
+    */
+  def idfFromCounts(counts: Array[(String, Long)]): TokenIdf = {
     val n = counts.collectFirst { case (DocSentinel, c) => c }.getOrElse(0L)
     TokenIdf(counts.toMap - DocSentinel, n)
   }

@@ -28,8 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Same [[Classify.classifyCore]] kernel as the typed path — the two
   * surfaces agree by construction; ClassifyExprSpec asserts row-for-row
-  * equality on the synth corpus and pins single-evaluation-per-row
-  * (CollapseProject must not duplicate the expression into its three
+  * equality on the synth corpus and pins single-evaluation-per-row from
+  * the optimized plan (exactly ONE classify_title occurrence —
+  * CollapseProject must not duplicate the expression into its three
   * consuming struct-field extracts).
   */
 case class ClassifyTitleExpr(child: Expression,
@@ -42,7 +43,6 @@ case class ClassifyTitleExpr(child: Expression,
     copy(child = c)
 
   override def nullSafeEval(input: Any): Any = {
-    ClassifyTitleExpr.evalCount.increment()
     val (category, isNews, ents) = Classify.classifyCore(
       input.asInstanceOf[UTF8String].toString, bcDicts.value, bcIdf.value)
     val n = ents.size
@@ -70,13 +70,6 @@ object ClassifyTitleExpr {
     StructField("entities",
       MapType(StringType, ArrayType(StringType, containsNull = false),
         valueContainsNull = false), nullable = false)))
-
-  /** Per-JVM eval counter — observation hook for ClassifyExprSpec's
-    * single-evaluation-per-row pin (a duplicated-expression regression
-    * would silently triple the most expensive per-row kernel). One
-    * striped add per row: noise next to the dictionary match.
-    */
-  val evalCount = new java.util.concurrent.atomic.LongAdder()
 
   def classify_title(c: Column, bcDicts: Broadcast[Classify.Dicts],
                      bcIdf: Broadcast[TokenIdf]): Column =

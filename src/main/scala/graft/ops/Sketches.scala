@@ -104,21 +104,32 @@ object Sketches {
       .toDF("doc_id", "sig")
   }
 
+  /** The ONE banding projection (sig array → exploded (band, bkey) rows,
+    * bkey = murmur3 of the band's signature slice) shared by
+    * [[minhashBanded]] and the cnt-carrying candidate path — the bkey
+    * derivation must stay byte-identical between them (the prefiltered
+    * candidate set's subset-of-plain property depends on it), so it
+    * exists exactly once. `carry` = extra per-doc columns to ride along.
+    */
+  private def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                       carry: Seq[String]): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    sig.select(keep :+
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+      }: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+  }
+
   /** (doc_id, band, bkey) banded minhash rows — the shared base of the
     * dup-group / candidate-pair tails (and of Verify's external oracle,
     * which re-derives those tails in DuckDB from this table).
     */
   def minhashBanded(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
-                    rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, shingleN, bands * rowsPerBand)
-    sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
+                    rowsPerBand: Int = 4): DataFrame =
+    bandRows(minhashSignatures(docs, shingleN, bands * rowsPerBand),
+      bands, rowsPerBand, Nil)
 
   /** MinHash+LSH near-dup groups (kernel-backed twin of
     * TextOps.minhashDupGroups — same banding/groupBy shape).
@@ -196,20 +207,14 @@ object Sketches {
         .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
         .distinct()
     } else {
-      // same banding shape, with cnt riding along (one int per row);
-      // min(struct(doc_id, cnt)) = the min-doc_id row (doc_id is unique
-      // within a bucket), so the anchor choice is IDENTICAL to the plain
-      // path — only provably-unverifiable pairs are dropped, before the
-      // distinct so the dedup shuffle shrinks too
-      val sig = minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand)
-      val banded = sig.select(
-        col("doc_id"), col("cnt"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("cnt"),
-          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      // same banding projection (shared bandRows), with cnt riding along
+      // (one int per row); min(struct(doc_id, cnt)) = the min-doc_id row
+      // (doc_id is unique within a bucket), so the anchor choice is
+      // IDENTICAL to the plain path — only provably-unverifiable pairs
+      // are dropped, before the distinct so the dedup shuffle shrinks too
+      val banded = bandRows(
+        minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand),
+        bands, rowsPerBand, Seq("cnt"))
       val anchors = banded.groupBy(col("band"), col("bkey"))
         .agg(min(struct(col("doc_id"), col("cnt"))).as("a"),
           count(lit(1)).as("n"))

@@ -174,6 +174,8 @@ class CliSpec extends AnyFunSuite {
       }
     }
     run(Map("synth" -> "300")) // commit the table
+    val idfDocs0 =
+      graft.gloss.Classify.idfFromTable(spark.read.parquet(s"$out/_idf")).nDocs
     // same input + --validate: audit passes, resume is a manifest no-op
     run(Map("synth" -> "300", "validate" -> "true"))
     // mutated input: the audit must detect the drifted committed units
@@ -182,6 +184,11 @@ class CliSpec extends AnyFunSuite {
       run(Map("synth" -> "500", "validate" -> "true"))
     }
     assert(e.getMessage.contains("drift") && e.getMessage.contains("buckets"))
+    // the refusing run left $out FULLY untouched — including the _idf
+    // sidecar, whose write is deferred past the audit (r6 review #1: it
+    // was overwritten with the drifted corpus's IDF before the audit ran)
+    assert(graft.gloss.Classify.idfFromTable(
+      spark.read.parquet(s"$out/_idf")).nDocs == idfDocs0)
     // the audit blocked the write: the committed table still holds the
     // 300-doc clustering (no fresh units from the drifted input)
     val table = graft.tablefmt.Checkpoint.readCommitted(spark, out)

@@ -18,6 +18,7 @@ Design notes (correctness-tier, not a load generator):
 
 Usage: python3 tools/make_sf1.py [/tmp/graft_sf1]
 """
+import os
 import sys
 
 import duckdb
@@ -29,7 +30,6 @@ K1 = 10_000_000    # entity-key shift (custkey/partkey/suppkey/doc/vec/user)
 K2 = 100_000_000   # event/order/lineitem-id shift
 
 con = duckdb.connect()
-con.execute(f"ATTACH ':memory:' AS mem")
 
 
 def gen(table: str, select: str) -> None:
@@ -50,8 +50,6 @@ def copy_as_is(table: str) -> None:
     )
     print(f"{table}: dims kept as-is")
 
-
-import os
 
 os.makedirs(OUT, exist_ok=True)
 
