@@ -29,10 +29,14 @@ object Bench {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** nDocs for the synthetic interleaved corpus per sf tier. */
+  /** nDocs for the synthetic interleaved corpus per sf tier (sf1 = the
+    * builder-promoted ×10 tier, tools/make_sf1.py — extraction corpus
+    * matches SparkEntry's sf1 sizing).
+    */
   def corpusDocs(sfDir: String): Long =
     if (sfDir.contains("sf0.1")) 100000L
     else if (sfDir.contains("sf0.01")) 10000L
+    else if (sfDir.contains("sf1")) 200000L
     else 1000L
 
   /** Materialize the corpus once per (docs, partitions); reused across runs. */
