@@ -175,27 +175,30 @@ object Bench {
     // contaminated after its retry is flagged, not hidden.
     var quietRef = nDocs / exprSec // from the best-of-3 warmups above
     var sweepsRetried = 0
-    def tellNow(): Double = {
+    def tellNow(updateRef: Boolean): Double = {
       val t = nDocs / timeExtractParquetExpr(spark, pq)._2
-      if (t > quietRef) quietRef = t
+      if (updateRef && t > quietRef) quietRef = t
       t
     }
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Seq[(String, Double)], Double)]
     (1 to 3).foreach { _ =>
-      val tell0 = tellNow()
+      val tell0 = tellNow(updateRef = true)
       val run0 = sweep()
       chosen += ((run0, tell0))
     }
-    // retry pass AFTER all three sweeps, judged against the FINAL quiet
+    // retry pass AFTER all three sweeps, judged against a FROZEN quiet
     // reference: an online gate misjudges early sweeps when the session
     // starts loaded (the running reference is itself depressed), and
-    // the disclosed flags must agree with the retry decisions — one
-    // reference for both (r6 review)
+    // the disclosed flags must agree with the retry decisions — so both
+    // use gateRef, frozen here, and retry-pass tells never move it
+    // (r6 review ×2: the first fix still let retry tells raise the
+    // reference between decisions and flags)
+    val gateRef = quietRef
     var idx = 0
     while (idx < chosen.length && sweepsRetried < 2) {
-      if (chosen(idx)._2 < 0.6 * quietRef) {
+      if (chosen(idx)._2 < 0.6 * gateRef) {
         sweepsRetried += 1
-        val tell1 = tellNow()
+        val tell1 = tellNow(updateRef = false)
         val run1 = sweep()
         if (tell1 > chosen(idx)._2) chosen(idx) = ((run1, tell1))
       }
@@ -203,7 +206,7 @@ object Bench {
     }
     val sweeps = chosen.toSeq.map(_._1)
     val tells = chosen.toSeq.map(_._2)
-    val flags = tells.map(_ < 0.6 * quietRef)
+    val flags = tells.map(_ < 0.6 * gateRef)
     val totals = sweeps.map(_.map(_._2).sum)
     val total = totals.sorted.apply(totals.size / 2) // median sweep total
     // per-query medians: robust against one co-tenant spike landing on a
@@ -219,7 +222,7 @@ object Bench {
       s""""runs":[${totals.mkString(",")}],"median":$total,""" +
       s""""sweep_tells_docs_per_sec":[${tells.map(_.round).mkString(",")}],""" +
       s""""sweep_contaminated":[${flags.mkString(",")}],""" +
-      s""""sweeps_retried":$sweepsRetried,"quiet_ref_docs_per_sec":${quietRef.round},""" +
+      s""""sweeps_retried":$sweepsRetried,"quiet_ref_docs_per_sec":${gateRef.round},""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
       s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +

@@ -229,18 +229,22 @@ object Main {
     // sealed fingerprint aborts the run with the drifted-bucket listing —
     // a drifted input must not be silently extended with fresh units
     // while the stale committed slices stand.
+    def auditIfRequested(input: org.apache.spark.sql.DataFrame, keyCol: String,
+                         out: String): Unit =
+      if (opts.get("validate").contains("true")) {
+        val drifted = Checkpoint.validateCommitted(spark, input, keyCol, out, buckets)
+        if (drifted.nonEmpty)
+          throw new DriftError(
+            s"input drift under committed units of $out: " +
+              s"buckets ${drifted.mkString(",")} no longer match their " +
+              "sealed lineage fingerprints (recompute the table or drop " +
+              "the drifted units' manifests to force their rewrite)")
+      }
+
     def writeOut(input: org.apache.spark.sql.DataFrame, keyCol: String,
                  transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
       opts.get("out").foreach { out =>
-        if (opts.get("validate").contains("true")) {
-          val drifted = Checkpoint.validateCommitted(spark, input, keyCol, out, buckets)
-          if (drifted.nonEmpty)
-            throw new DriftError(
-              s"input drift under committed units of $out: " +
-                s"buckets ${drifted.mkString(",")} no longer match their " +
-                "sealed lineage fingerprints (recompute the table or drop " +
-                "the drifted units' manifests to force their rewrite)")
-        }
+        auditIfRequested(input, keyCol, out)
         Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
       }
 
@@ -254,19 +258,22 @@ object Main {
         import org.apache.spark.storage.StorageLevel
         val extracted = graft.extract.ExtractSpansExpr.run(docs.toDF())
           .persist(StorageLevel.MEMORY_AND_DISK)
-        writeOut(extracted
-          .select(col("doc_id"), col("lang"), col("title_norm"), col("spans")),
-          "doc_id", identity)
-        // {"lang_code": "en", "articles": [...]}, then ru — printer.rs:6-62
-        val byLang = extracted.select($"lang", $"doc_id")
-          .as[(String, String)].groupByKey(_._1)
-          .mapGroups((l, it) => (l, it.map(_._2).take(MaxCliRows).toArray.sorted))
-          .collect().toMap
-        val frames = Seq("en", "ru").map { l =>
-          s"""{"lang_code": ${jsonStr(l)}, "articles": [${byLang.getOrElse(l, Array.empty[String]).map(jsonStr).mkString(", ")}]}"""
-        }
-        println(frames.mkString("[\n", ",\n", "\n]"))
-        extracted.unpersist()
+        // try/finally: a DriftError from writeOut's audit must still
+        // release the extraction cache (r6 review #2)
+        try {
+          writeOut(extracted
+            .select(col("doc_id"), col("lang"), col("title_norm"), col("spans")),
+            "doc_id", identity)
+          // {"lang_code": "en", "articles": [...]}, then ru — printer.rs:6-62
+          val byLang = extracted.select($"lang", $"doc_id")
+            .as[(String, String)].groupByKey(_._1)
+            .mapGroups((l, it) => (l, it.map(_._2).take(MaxCliRows).toArray.sorted))
+            .collect().toMap
+          val frames = Seq("en", "ru").map { l =>
+            s"""{"lang_code": ${jsonStr(l)}, "articles": [${byLang.getOrElse(l, Array.empty[String]).map(jsonStr).mkString(", ")}]}"""
+          }
+          println(frames.mkString("[\n", ",\n", "\n]"))
+        } finally extracted.unpersist()
 
       case "news" | "categories" =>
         val (classified, release, commitIdf) = classifySteadyState(spark, docs, opts)
@@ -302,22 +309,34 @@ object Main {
         val nInput = docs.count()
         val t1 = System.nanoTime()
         val (classified, release, commitIdf) = classifySteadyState(spark, docs, opts)
-        val nKept = classified.count()
-        val t2 = System.nanoTime()
-        val byLang = classified.groupByKey(_.lang).count().collect().toMap
-        val nNews = classified.filter(_.is_news).count()
-        val nTitles = classified.map(_.title_norm).distinct().count()
-        val nThreads = Threads.threads(classified).count()
-        val t3 = System.nanoTime()
-        def ms(a: Long, b: Long) = (b - a) / 1000000
-        println(
-          s"""{"n_input": $nInput, "n_kept": $nKept, "n_en": ${byLang.getOrElse("en", 0L)}, """ +
-          s""""n_ru": ${byLang.getOrElse("ru", 0L)}, "n_news": $nNews, """ +
-          s""""n_distinct_titles": $nTitles, "n_threads": $nThreads, """ +
-          s""""scan_ms": ${ms(t0, t1)}, "extract_classify_ms": ${ms(t1, t2)}, """ +
-          s""""threads_ms": ${ms(t2, t3)}}""")
-        commitIdf()
-        release()
+        try {
+          val nKept = classified.count()
+          val t2 = System.nanoTime()
+          val byLang = classified.groupByKey(_.lang).count().collect().toMap
+          val nNews = classified.filter(_.is_news).count()
+          val nTitles = classified.map(_.title_norm).distinct().count()
+          val nThreads = Threads.threads(classified).count()
+          val t3 = System.nanoTime()
+          def ms(a: Long, b: Long) = (b - a) / 1000000
+          println(
+            s"""{"n_input": $nInput, "n_kept": $nKept, "n_en": ${byLang.getOrElse("en", 0L)}, """ +
+            s""""n_ru": ${byLang.getOrElse("ru", 0L)}, "n_news": $nNews, """ +
+            s""""n_distinct_titles": $nTitles, "n_threads": $nThreads, """ +
+            s""""scan_ms": ${ms(t0, t1)}, "extract_classify_ms": ${ms(t1, t2)}, """ +
+            s""""threads_ms": ${ms(t2, t3)}}""")
+          // debug writes no table, but it DOES maintain the _idf sidecar —
+          // so under --validate it must run the same audit the writing
+          // verbs do before touching $out (r6 review #1: without this, a
+          // drifted `debug --validate --out` overwrote the sidecar and
+          // exited 0, leaving a later `top --validate` unable to see the
+          // drift in _idf). Keyed by doc_id like the classify verbs; a
+          // table written under a different keying fingerprints
+          // differently and the audit refuses — safe by construction.
+          opts.get("out").foreach { out =>
+            auditIfRequested(classified.toDF().select(col("doc_id")), "doc_id", out)
+          }
+          commitIdf()
+        } finally release()
 
       case "threads" | "top" =>
         // two-stage at scale: persist classified once, then cluster.

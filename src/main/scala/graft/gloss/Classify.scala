@@ -283,7 +283,8 @@ object Classify {
         ClassifyTitleExpr.classify_title(col("title_norm"), bc, bcIdf).as("_c"))
       // CollapseProject leaves the non-cheap multi-referenced `_c` in its
       // own project, so the expression evaluates ONCE per row
-      // (ClassifyExprSpec pins single evaluation with an eval counter)
+      // (ClassifyExprSpec pins exactly one classify_title occurrence in
+      // both the optimized and the executed plan)
       .select(col("doc_id"), col("lang"), col("title_norm"),
         col("_c.category").as("category"), col("_c.is_news").as("is_news"),
         col("_c.entities").as("entities"))

@@ -53,21 +53,28 @@ class ClassifyExprSpec extends AnyFunSuite {
     val bcIdf = spark.sparkContext.broadcast(
       Classify.idfFromTable(Classify.dfTableSlim(slim, bc.value)))
     val out = Classify.runWithIdfSlim(slim, bc, bcIdf).toDF()
-    def exprCount(df: org.apache.spark.sql.DataFrame): Int = {
-      val plan = df.queryExecution.optimizedPlan.toString
-      // the hot path is object-free: no encoder boundary survives in
-      // the optimized plan (the point of VERDICT r5 item 3)
-      assert(!plan.contains("DeserializeToObject") &&
-        !plan.contains("SerializeFromObject") &&
-        !plan.contains("MapPartitions"), plan)
-      "classify_title".r.findAllIn(plan).length
+    def exprCount(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val opt = df.queryExecution.optimizedPlan.toString
+      // the PHYSICAL plan too: a post-optimizer duplication (physical
+      // project collapsing, future ScanOperation changes) must not
+      // silently triple the kernel either (r6 review ×2)
+      val phys = df.queryExecution.executedPlan.toString
+      // the hot path is object-free: no encoder boundary survives
+      // (the point of VERDICT r5 item 3)
+      Seq(opt, phys).foreach { plan =>
+        assert(!plan.contains("DeserializeToObject") &&
+          !plan.contains("SerializeFromObject") &&
+          !plan.contains("MapPartitions"), plan)
+      }
+      ("classify_title".r.findAllIn(opt).length,
+        "classify_title".r.findAllIn(phys).length)
     }
-    // all three derived columns consumed → the optimized plan carries
-    // exactly ONE classify_title (a CollapseProject duplication would
-    // show three — tripling the most expensive per-row kernel)
-    assert(exprCount(out.select("category", "is_news", "entities")) == 1)
+    // all three derived columns consumed → both plans carry exactly ONE
+    // classify_title (a CollapseProject-style duplication would show
+    // three — tripling the most expensive per-row kernel)
+    assert(exprCount(out.select("category", "is_news", "entities")) == ((1, 1)))
     // a single-field projection stays at one occurrence too
-    assert(exprCount(out.select("category")) == 1)
+    assert(exprCount(out.select("category")) == ((1, 1)))
     assert(out.select("category", "is_news", "entities").collect().length == 3)
   }
 }

@@ -189,6 +189,19 @@ class CliSpec extends AnyFunSuite {
     // was overwritten with the drifted corpus's IDF before the audit ran)
     assert(graft.gloss.Classify.idfFromTable(
       spark.read.parquet(s"$out/_idf")).nDocs == idfDocs0)
+    // debug writes no table but maintains the sidecar: under --validate
+    // it must run the same audit instead of silently overwriting _idf
+    // and exiting 0 on a drifted corpus (r6 review ×2)
+    val eDebug = intercept[Main.DriftError] {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, "debug",
+          Map("synth" -> "500", "out" -> out, "buckets" -> "4", "validate" -> "true"))
+      }
+    }
+    assert(eDebug.getMessage.contains("drift"))
+    assert(graft.gloss.Classify.idfFromTable(
+      spark.read.parquet(s"$out/_idf")).nDocs == idfDocs0)
     // the audit blocked the write: the committed table still holds the
     // 300-doc clustering (no fresh units from the drifted input)
     val table = graft.tablefmt.Checkpoint.readCommitted(spark, out)
