@@ -131,22 +131,39 @@ class PlanSpec extends AnyFunSuite {
       s"read ${scan.get.metrics("numFiles").value} files, bucket dir has $nFilesBucket3")
   }
 
-  test("kmeans centroid update aggregates with a map-side partial") {
-    import spark.implicits._
+  test("kmeans training sample is a bounded TakeOrdered pass, never a global sort") {
+    // VERDICT r6 item 1: the coarse quantizer trains on a bounded
+    // hash-sample — the one corpus pass it costs must plan as
+    // TakeOrderedAndProject (per-partition top-k + O(sampleCap) driver
+    // merge), NOT a full Exchange+Sort (which would shuffle the whole
+    // corpus just to pick 4096 rows)
     val vecs = spark.range(100)
-      .select($"id", org.apache.spark.sql.functions.array(
-        ($"id" % 7).cast("float"), ($"id" % 3).cast("float")).as("embedding"))
-      .as[(Long, Array[Float])]
-    val centroids = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
-    val plan = graft.ops.Similarity.centroidUpdateDF(spark, vecs, centroids)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (org.apache.spark.sql.functions.col("id") % 7).cast("float"),
+          (org.apache.spark.sql.functions.col("id") % 3).cast("float")).as("embedding"))
+    val plan = graft.ops.Similarity.kmeansSampleFrame(vecs, sampleCap = 16, seed = 42L)
       .queryExecution.executedPlan.toString
-    // the shuffle carries pre-combined (cid, pos, pid) partials, never raw
-    // embeddings (the round-1 groupByKey.mapGroups shipped 1/nCentroids of
-    // the corpus to one reducer task); the final fold is partial-combined
-    // collect_list of ≤ numPartitions (pid, v) pairs per group
-    assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"),
-      plan.take(2000))
-    assert(!plan.contains("MapGroups"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
+  test("kmeans centroids are deterministic across repartitionings") {
+    // the sample is the hash-smallest rows under a TOTAL order, so the
+    // trained centroids must be bitwise identical however the input is
+    // partitioned — Verify's external IVF oracle relies on this
+    val vecs = spark.range(500)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (org.apache.spark.sql.functions.col("id") % 7).cast("float"),
+          (org.apache.spark.sql.functions.col("id") % 3).cast("float")).as("embedding"))
+    val a = graft.ops.Similarity.kmeansCentroids(spark, vecs, nCentroids = 4, iters = 3)
+    val b = graft.ops.Similarity.kmeansCentroids(spark, vecs.repartition(7),
+      nCentroids = 4, iters = 3)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((ia, ca), (ib, cb)) =>
+      assert(ia == ib && ca.sameElements(cb))
+    }
   }
 
   test("ext_* queries consume the persisted classified cache (steady state)") {
