@@ -241,9 +241,23 @@ object Main {
               "the drifted units' manifests to force their rewrite)")
       }
 
+    // a table whose committed units were bucketed by a DIFFERENT key is a
+    // verb/--out mismatch (e.g. `threads --out <news-table>`), not input
+    // drift — surface it as the usage error it is (exit 2) instead of the
+    // library's IllegalArgumentException stack trace (ADVICE r6)
+    def requireKeying(out: String, keyCol: String): Unit = {
+      val recorded = Checkpoint.recordedKeyCols(out)
+      if (recorded.nonEmpty && recorded != Set(keyCol))
+        throw new CliArgError(
+          s"--out $out holds a table keyed by '${recorded.mkString(",")}' " +
+            s"but this verb writes tables keyed by '$keyCol' — point --out " +
+            "at a fresh directory or rerun the verb that wrote it")
+    }
+
     def writeOut(input: org.apache.spark.sql.DataFrame, keyCol: String,
                  transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
       opts.get("out").foreach { out =>
+        requireKeying(out, keyCol)
         auditIfRequested(input, keyCol, out)
         Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
       }
@@ -329,11 +343,26 @@ object Main {
           // verbs do before touching $out (r6 review #1: without this, a
           // drifted `debug --validate --out` overwrote the sidecar and
           // exited 0, leaving a later `top --validate` unable to see the
-          // drift in _idf). Keyed by doc_id like the classify verbs; a
-          // table written under a different keying fingerprints
-          // differently and the audit refuses — safe by construction.
+          // drift in _idf). The audit keys by the table's RECORDED keying
+          // (ADVICE r6: a fixed doc_id audit against a threads/top table
+          // — keyed by title_norm or component — reported spurious drift):
+          // doc_id and title_norm slices are reproducible from the
+          // classified frame here; a component-keyed table needs the
+          // fuzzy clustering this verb doesn't run, so it refuses with
+          // the real story instead of a drift report.
           opts.get("out").foreach { out =>
-            auditIfRequested(classified.toDF().select(col("doc_id")), "doc_id", out)
+            Checkpoint.recordedKeyCols(out).toList match {
+              case Nil | List("doc_id") =>
+                auditIfRequested(classified.toDF().select(col("doc_id")), "doc_id", out)
+              case List("title_norm") =>
+                auditIfRequested(classified.toDF().select(col("title_norm")), "title_norm", out)
+              case other =>
+                if (opts.get("validate").contains("true"))
+                  throw new CliArgError(
+                    s"--out $out holds a table keyed by '${other.mkString(",")}' — " +
+                      "debug cannot audit it; run the audit via the verb that " +
+                      "wrote the table (e.g. threads --fuzzy --validate true)")
+            }
           }
           commitIdf()
         } finally release()

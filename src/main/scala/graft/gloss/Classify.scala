@@ -279,7 +279,15 @@ object Classify {
     import org.apache.spark.sql.functions.col
     val spark = slimDf.sparkSession
     import spark.implicits._
-    slimDf.select(col("doc_id"), col("lang"), col("title_norm"),
+    // NULL titles are dropped, not classified (ADVICE r6): the expression
+    // is nullable (UnaryExpression: null child → null struct) while
+    // OutType declares non-null fields — a caller passing a frame with
+    // nullable title_norm would otherwise flow null category/is_news
+    // through fields the optimizer treats as non-null. Every current
+    // caller (ExtractTitleExpr.run, slim()) already filters nulls, so
+    // this is a no-op row-wise; the typed twin filters identically.
+    slimDf.filter(col("title_norm").isNotNull)
+      .select(col("doc_id"), col("lang"), col("title_norm"),
         ClassifyTitleExpr.classify_title(col("title_norm"), bc, bcIdf).as("_c"))
       // CollapseProject leaves the non-cheap multi-referenced `_c` in its
       // own project, so the expression evaluates ONCE per row
@@ -298,7 +306,8 @@ object Classify {
                           bcIdf: Broadcast[TokenIdf]): Dataset[ClassifiedDoc] = {
     val spark = slimDf.sparkSession
     import spark.implicits._
-    slimDf.select("doc_id", "lang", "title_norm")
+    slimDf.filter(org.apache.spark.sql.functions.col("title_norm").isNotNull)
+      .select("doc_id", "lang", "title_norm")
       .as[(String, String, String)].mapPartitions { it =>
         val dicts = bc.value
         val idf = bcIdf.value

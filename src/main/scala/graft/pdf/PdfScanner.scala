@@ -239,8 +239,13 @@ object PdfScanner {
           val endobjOk = k + 6 <= n && bytes(k) == 'e' && bytes(k + 1) == 'n' &&
             bytes(k + 2) == 'd' && bytes(k + 3) == 'o' && bytes(k + 4) == 'b' &&
             bytes(k + 5) == 'j'
+          // FIRST binding wins (ADVICE r6): the real top-level length
+          // object precedes any `N G obj <int> endobj` impostor that
+          // happens to sit inside a later raw stream's payload — last-put
+          // would let the in-data impostor overwrite the real length and
+          // mis-bound the stream
           if (digits <= 9 && endobjOk && v <= Int.MaxValue)
-            out.put(num, v.toInt)
+            out.putIfAbsent(num, v.toInt)
         }
       }
       from = p + 3

@@ -40,7 +40,8 @@ object Checkpoint {
       nOutput: Long,
       wallMs: Long,
       attempt: Int,
-      status: String)
+      status: String,
+      keyCol: String = "")
 
   final case class WriteReport(unitsPlanned: Seq[Int], unitsSkipped: Seq[Int],
                                unitsCommitted: Seq[Int])
@@ -68,8 +69,31 @@ object Checkpoint {
       UnitManifest(n.get("bucket").asInt(), n.get("input_fingerprint").asLong(),
         n.get("n_input").asLong(), n.get("n_output").asLong(),
         n.get("wall_ms").asLong(), n.get("attempt").asInt(),
-        n.get("status").asText())
+        n.get("status").asText(),
+        // pre-r7 manifests carry no key_col — "" = unknown (checks skip)
+        Option(n.get("key_col")).map(_.asText).getOrElse(""))
     }
+  }
+
+  /** The key column the table's committed units were bucketed by, when
+    * recorded (r7+ manifests). Empty set = no committed units or pre-r7
+    * manifests.
+    */
+  def recordedKeyCols(out: String): Set[String] =
+    readManifests(out).map(_.keyCol).filter(_.nonEmpty).toSet
+
+  /** A fingerprint audit or a resume against a table whose committed
+    * units were bucketed by a DIFFERENT key is meaningless (every bucket
+    * hash differs) — fail with the real story instead of a spurious
+    * drift report / a silently-forked table (ADVICE r6).
+    */
+  def requireSameKeying(out: String, keyCol: String): Unit = {
+    val recorded = recordedKeyCols(out)
+    if (recorded.nonEmpty && recorded != Set(keyCol))
+      throw new IllegalArgumentException(
+        s"table at $out is keyed by '${recorded.mkString(",")}' but this " +
+          s"operation uses key '$keyCol' — not input drift; run it via " +
+          "the verb/keying that wrote the table")
   }
 
   private def sealManifest(out: String, m: UnitManifest): Unit = {
@@ -77,7 +101,8 @@ object Checkpoint {
     val json =
       s"""{"bucket":${m.bucket},"input_fingerprint":${m.inputFingerprint},
          |"n_input":${m.nInput},"n_output":${m.nOutput},
-         |"wall_ms":${m.wallMs},"attempt":${m.attempt},"status":"${m.status}"}"""
+         |"wall_ms":${m.wallMs},"attempt":${m.attempt},"status":"${m.status}",
+         |"key_col":"${m.keyCol}"}"""
         .stripMargin.replace("\n", "")
     val tmp = manifestDir(out).resolve(s".part-${m.bucket}.json.tmp")
     Files.writeString(tmp, json)
@@ -144,6 +169,7 @@ object Checkpoint {
              failAtUnit: Option[Int] = None,
              unitParallelism: Int = 1,
              inputPrePartitioned: Boolean = false): WriteReport = {
+    requireSameKeying(out, keyCol)
     val done = committedUnits(out)
     val planned = (0 until buckets).filterNot(done)
     val stagedDir = s"$out/_staged"
@@ -237,7 +263,7 @@ object Checkpoint {
       val nOutput = spark.read.schema(outRows.schema).parquet(unitDir).count()
       val attempt = 1 // committed manifests are never re-attempted
       sealManifest(out, UnitManifest(k, fpxor, nInput, nOutput,
-        (System.nanoTime() - t0) / 1000000, attempt, "committed"))
+        (System.nanoTime() - t0) / 1000000, attempt, "committed", keyCol))
       k
     }
 
@@ -263,6 +289,7 @@ object Checkpoint {
     */
   def validateCommitted(spark: SparkSession, input: DataFrame, keyCol: String,
                         out: String, buckets: Int): Seq[Int] = {
+    requireSameKeying(out, keyCol)
     val manifests = readManifests(out).map(m => m.bucket -> m).toMap
     if (manifests.isEmpty) return Seq.empty
     val current = input

@@ -77,4 +77,26 @@ class ClassifyExprSpec extends AnyFunSuite {
     assert(exprCount(out.select("category")) == ((1, 1)))
     assert(out.select("category", "is_news", "entities").collect().length == 3)
   }
+
+  test("NULL title_norm rows are dropped, not classified to null structs (ADVICE r6)") {
+    import spark.implicits._
+    // OutType declares non-nullable struct fields while the expression is
+    // nullable (UnaryExpression: null child → null struct) — a caller
+    // with nullable title_norm would flow nulls through fields the
+    // optimizer treats as non-null. Both paths must filter instead.
+    val slim = Seq(
+      ("d1", "en", "putin meets congress on trade budget"),
+      ("d2", "en", null),
+      ("d3", "ru", "правительство россии обсуждает бюджет"))
+      .toDF("doc_id", "lang", "title_norm").repartition(2)
+    val bc = Classify.dictsBroadcast(spark)
+    val bcIdf = spark.sparkContext.broadcast(
+      Classify.idfFromTable(Classify.dfTableSlim(slim.filter($"title_norm".isNotNull), bc.value)))
+    val expr = Classify.runWithIdfSlim(slim, bc, bcIdf)
+    val typed = Classify.runWithIdfSlimTyped(slim, bc, bcIdf)
+    assert(expr.collect().map(_.doc_id).sorted.toSeq == Seq("d1", "d3"))
+    assert(norm(expr) == norm(typed))
+    // no null leaks into the declared-non-null fields
+    assert(expr.collect().forall(d => d.category != null && d.entities != null))
+  }
 }

@@ -215,6 +215,49 @@ class CliSpec extends AnyFunSuite {
     assert(table.count() == want)
   }
 
+  test("recorded keying: debug --validate audits threads tables by their real key; mismatched verbs refuse (ADVICE r6)") {
+    def quiet(verb: String, opts: Map[String, String]): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, verb, opts)
+      }
+    }
+    // threads writes a title_norm-keyed table; debug's audit used to key
+    // by doc_id unconditionally → every bucket "drifted" and an UNCHANGED
+    // corpus exited 3 with a misleading drift report
+    val out = java.nio.file.Files.createTempDirectory("keyedout").toString
+    quiet("threads", Map("synth" -> "300", "out" -> out, "buckets" -> "4"))
+    assert(graft.tablefmt.Checkpoint.recordedKeyCols(out) == Set("title_norm"))
+    // unchanged corpus: the audit now keys by the recorded title_norm and
+    // passes (this threw DriftError before the fix)
+    quiet("debug",
+      Map("synth" -> "300", "out" -> out, "buckets" -> "4", "validate" -> "true"))
+    // a DIFFERENT corpus still drifts — the recorded-keying audit is an
+    // audit, not a bypass
+    intercept[Main.DriftError] {
+      quiet("debug",
+        Map("synth" -> "500", "out" -> out, "buckets" -> "4", "validate" -> "true"))
+    }
+    // a component-keyed (fuzzy) table: debug can't reproduce the fuzzy
+    // clustering, so it refuses with the keyed-differently story, not a
+    // drift report
+    val outF = java.nio.file.Files.createTempDirectory("keyedfuzzy").toString
+    quiet("threads",
+      Map("synth" -> "300", "fuzzy" -> "true", "out" -> outF, "buckets" -> "4"))
+    assert(graft.tablefmt.Checkpoint.recordedKeyCols(outF) == Set("component"))
+    val eDbg = intercept[Main.CliArgError] {
+      quiet("debug",
+        Map("synth" -> "300", "out" -> outF, "buckets" -> "4", "validate" -> "true"))
+    }
+    assert(eDbg.getMessage.contains("keyed by 'component'"))
+    // verb/--out mismatch: pointing a doc_id-writing verb at the
+    // title_norm table is a usage error (exit 2), not drift or a fork
+    val eVerb = intercept[Main.CliArgError] {
+      quiet("news", Map("synth" -> "300", "out" -> out, "buckets" -> "4"))
+    }
+    assert(eVerb.getMessage.contains("keyed by 'title_norm'"))
+  }
+
   test("golden parity: all five verbs byte-exact vs checked-in goldens") {
     // VERDICT r2 item 6: the reference printer shapes (src/printer.rs:6-62,
     // glossary.rs:218-278) over the fixed seeded fixture, diffed byte for

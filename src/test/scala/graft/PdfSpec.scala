@@ -219,6 +219,62 @@ class PdfSpec extends AnyFunSuite {
     assert(ints.get(2) == null) // dict body
     assert(ints.get(3) == null) // oversized digits
     assert(ints.get(4) == null) // no endobj
+    // FIRST binding wins (ADVICE r6): a raw stream payload that happens
+    // to contain `12 0 obj 7 endobj` AFTER the real length object must
+    // not overwrite it and mis-bound the stream
+    assert(PdfScanner.scanIntObjects(
+      "12 0 obj 345 endobj\njunk 12 0 obj 7 endobj".getBytes(UTF_8)).get(12) == 345)
+    val realLen = content.getBytes(UTF_8).length
+    val impostorPdf = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"12 0 obj $realLen endobj\n" +
+      s"4 0 obj << /Length 12 0 R >>\nstream\n" + content + "\nendstream\nendobj\n" +
+      // a later RAW stream whose payload embeds an integer-object impostor
+      // with the SAME object number (last-put would adopt len=7)
+      "8 0 obj << /Length 24 >>\nstream\nxx 12 0 obj 7 endobj yy\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    assert(PdfScanner.extract(impostorPdf).title == "before endstream after")
+  }
+
+  test("hostile indirect-/Length paths never throw (VERDICT r6 item 6)") {
+    // targeted hostiles for the r6 byte-level scanners: scanIntObjects +
+    // the impostor-skipping resume walk. The never-throw contract is the
+    // assert; titles may be empty/garbled on damaged input.
+    val u8 = UTF_8
+    // /Length pointing at a MISSING integer object → lenient fallback
+    PdfScanner.extract(("%PDF-1.4\n4 0 obj << /Length 99 0 R >>\nstream\n" +
+      "BT /F1 9 Tf (t) Tj ET\nendstream endobj\n%%EOF").getBytes(u8))
+    // /Length resolving to a HUGE int (past EOF) → fallback, no OOM/throw
+    PdfScanner.extract(("%PDF-1.4\n7 0 obj 2000000000 endobj\n" +
+      "4 0 obj << /Length 7 0 R >>\nstream\nBT (x) Tj ET\nendstream endobj\n%%EOF").getBytes(u8))
+    // negative-ish/zero and boundary lengths
+    PdfScanner.extract(("%PDF-1.4\n7 0 obj 0 endobj\n" +
+      "4 0 obj << /Length 7 0 R >>\nstream\nBT (x) Tj ET\nendstream endobj\n%%EOF").getBytes(u8))
+    // an `endstream` impostor at EOF: the resolved length points past the
+    // impostor and NO real endstream follows — resume walk must terminate
+    val tail = "BT (y) Tj ET endstream"
+    PdfScanner.extract(("%PDF-1.4\n" +
+      s"7 0 obj ${tail.getBytes(u8).length + 10} endobj\n" +
+      s"4 0 obj << /Length 7 0 R >>\nstream\n$tail").getBytes(u8))
+    // stream keyword at the very last bytes
+    PdfScanner.extract("%PDF-1.4\n4 0 obj << /Length 7 0 R >>\nstream".getBytes(u8))
+    PdfScanner.extract("%PDF-1.4\n7 0 obj 5 endobj\nstream\nab".getBytes(u8))
+    // truncations of a valid indirect-length file at every byte boundary
+    val full = ("%PDF-1.4\n3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      "12 0 obj 28 endobj\n4 0 obj << /Length 12 0 R >>\nstream\n" +
+      "BT /F1 12 Tf (endstream) Tj ET\nendstream\nendobj\n%%EOF\n").getBytes(u8)
+    (0 until full.length).foreach(k => PdfScanner.extract(full.take(k)))
+    // bit-flip fuzz focused on the indirect-length region
+    val rnd = new scala.util.Random(11)
+    (0 until 300).foreach { _ =>
+      val mutated = full.clone()
+      val flips = 1 + rnd.nextInt(4)
+      (0 until flips).foreach { _ =>
+        val pos = rnd.nextInt(mutated.length)
+        mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      PdfScanner.extract(mutated)
+    }
   }
 
   test("ObjStm expansion: font dicts packed in an object stream still select decoders") {

@@ -292,6 +292,35 @@ class ResumeSpec extends AnyFunSuite {
     assert(ms.map(_.nOutput).sum == 1000L)
     assert(ms.forall(_.status == "committed"))
     assert(ms.map(_.inputFingerprint).distinct.size == 4) // per-unit lineage
+    assert(ms.forall(_.keyCol == "doc_id")) // keying recorded (ADVICE r6)
+  }
+
+  test("keying mismatch: resume/audit against a differently-keyed table refuses with the real story (ADVICE r6)") {
+    // a doc_id-keyed audit over a text-keyed table would report every
+    // bucket drifted (spurious) or, on resume, silently fork the table —
+    // the recorded key_col turns both into a loud keyed-differently error
+    val out = Files.createTempDirectory("ckptkey").toString
+    Checkpoint.resume(spark, input, "text", transform, out, buckets = 4)
+    assert(Checkpoint.recordedKeyCols(out) == Set("text"))
+    val eResume = intercept[IllegalArgumentException] {
+      Checkpoint.resume(spark, input, "doc_id", transform, out, buckets = 4)
+    }
+    assert(eResume.getMessage.contains("keyed by 'text'"))
+    val eAudit = intercept[IllegalArgumentException] {
+      Checkpoint.validateCommitted(spark, input, "doc_id", out, buckets = 4)
+    }
+    assert(eAudit.getMessage.contains("keyed by 'text'"))
+    // same keying: audit runs and reports NO drift on the unchanged input
+    assert(Checkpoint.validateCommitted(spark, input, "text", out, 4).isEmpty)
+    // pre-r7 manifests carry no key_col — the check must SKIP (unknown),
+    // not refuse: strip key_col from the sealed manifests and re-audit
+    val mdir = java.nio.file.Paths.get(out, "_manifest")
+    Files.list(mdir).iterator().forEachRemaining { p =>
+      val s = Files.readString(p).replaceAll(""","key_col":"[^"]*"""", "")
+      Files.writeString(p, s)
+    }
+    assert(Checkpoint.recordedKeyCols(out).isEmpty)
+    assert(Checkpoint.validateCommitted(spark, input, "text", out, 4).isEmpty)
   }
 }
 
