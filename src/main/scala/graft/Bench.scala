@@ -15,6 +15,69 @@ import org.apache.spark.sql.SparkSession
   * generate+extract number is reported alongside as the
   * encoder-boundary-free upper bound.
   */
+/** Persisted per-(cpus, corpus-size) historical quiet tell (VERDICT r6
+  * item 2): the in-session gate judges sweeps against the session's own
+  * best tell, so a session that is loaded END-TO-END gates against a
+  * depressed reference and flags nothing — BENCH_r06 ran all three sweeps
+  * at ~half the documented quiet throughput, undetected. The historical
+  * reference is a monotone max across sessions (contamination only
+  * DEPRESSES throughput, so a loaded session can never raise it), updated
+  * in place when a session's frozen gate reference exceeds it. Sweeps are
+  * reported as a percentage of it and flagged (not retried) below 60%.
+  */
+object QuietRef {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def path: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_QUIET_REF", "BENCH/quiet_ref.json"))
+
+  def key(cpus: String, nDocs: Long): String = s"cpus=$cpus,docs=$nDocs"
+
+  /** Recorded historical quiet docs/sec for this key, if any. */
+  def read(cpus: String, nDocs: Long, at: java.nio.file.Path = path): Option[Double] =
+    try {
+      if (!java.nio.file.Files.exists(at)) None
+      else Option(mapper.readTree(at.toFile).get(key(cpus, nDocs)))
+        .map(_.get("docs_per_sec").asDouble)
+    } catch { case _: Exception => None } // unreadable file = no reference
+
+  /** Monotone-max update: records `sessionRef` only when it beats the
+    * stored value (a depressed/loaded session never lowers the bar).
+    * Returns the reference in force after the update.
+    */
+  def update(cpus: String, nDocs: Long, sessionRef: Double,
+             at: java.nio.file.Path = path): Double = {
+    val prior = read(cpus, nDocs, at)
+    if (prior.forall(sessionRef > _)) {
+      try {
+        // a corrupt existing file is replaced, not preserved: its entries
+        // are unreadable anyway, and keeping it would silently disable
+        // persistence forever
+        val root: com.fasterxml.jackson.databind.node.ObjectNode =
+          (try {
+            if (java.nio.file.Files.exists(at))
+              mapper.readTree(at.toFile) match {
+                case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
+                case _ => None
+              }
+            else None
+          } catch { case _: Exception => None })
+            .getOrElse(mapper.createObjectNode())
+        val e = mapper.createObjectNode()
+        e.put("docs_per_sec", sessionRef)
+        e.put("updated_utc", java.time.Instant.now().toString)
+        root.set(key(cpus, nDocs), e)
+        Option(at.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        val tmp = at.resolveSibling(at.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, root.toPrettyString + "\n")
+        java.nio.file.Files.move(tmp, at,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Exception => () } // read-only checkout: keep benching
+      sessionRef
+    } else prior.get
+  }
+}
+
 object Bench {
 
   def session(cpus: String): SparkSession = SparkSession.builder()
@@ -200,13 +263,27 @@ object Bench {
         sweepsRetried += 1
         val tell1 = tellNow(updateRef = false)
         val run1 = sweep()
-        if (tell1 > chosen(idx)._2) chosen(idx) = ((run1, tell1))
+        // adoption rule (ADVICE r6, made explicit): a replacement at or
+        // above the gate is a clean measurement — adopt it; below the
+        // gate both runs are contaminated, so keep whichever had the
+        // higher tell and leave the slot flagged (flags recompute from
+        // FINAL tells below, so a still-contaminated adoptee stays
+        // disclosed — the retry can reduce contamination, never hide it)
+        val cleanReplacement = tell1 >= 0.6 * gateRef
+        if (cleanReplacement || tell1 > chosen(idx)._2) chosen(idx) = ((run1, tell1))
       }
       idx += 1
     }
     val sweeps = chosen.toSeq.map(_._1)
     val tells = chosen.toSeq.map(_._2)
     val flags = tells.map(_ < 0.6 * gateRef)
+    // cross-session reference (VERDICT r6 item 2): the in-session gate is
+    // blind to UNIFORM contamination — judge sweeps against the persisted
+    // per-(cpus, corpus) historical quiet max too. Flag only, no retry:
+    // if the whole session is loaded, retrying inside it cannot help.
+    val histRef = QuietRef.update(cpus, nDocs, gateRef)
+    val pctOfHistoric = tells.map(t => (t / histRef * 100).round)
+    val belowHistoric = tells.map(_ < 0.6 * histRef)
     val totals = sweeps.map(_.map(_._2).sum)
     val total = totals.sorted.apply(totals.size / 2) // median sweep total
     // per-query medians: robust against one co-tenant spike landing on a
@@ -223,6 +300,9 @@ object Bench {
       s""""sweep_tells_docs_per_sec":[${tells.map(_.round).mkString(",")}],""" +
       s""""sweep_contaminated":[${flags.mkString(",")}],""" +
       s""""sweeps_retried":$sweepsRetried,"quiet_ref_docs_per_sec":${gateRef.round},""" +
+      s""""historic_quiet_ref_docs_per_sec":${histRef.round},""" +
+      s""""pct_of_historic_quiet":[${pctOfHistoric.mkString(",")}],""" +
+      s""""sweep_below_historic_quiet":[${belowHistoric.mkString(",")}],""" +
       s""""extract_docs":$nDocs,"extract_kept":$kept,"extract_sec":$extractSec,""" +
       s""""extract_docs_per_sec":${nDocs / extractSec},""" +
       s""""extract_expr_docs_per_sec":${nDocs / exprSec},""" +
