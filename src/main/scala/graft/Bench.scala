@@ -460,8 +460,11 @@ object FuzzyProfile {
     tick("2b candidates ratio-filt ")(graft.ops.Sketches
       .minhashCandidatePairs(asDocs, shingleN = 1, bands = 4, rowsPerBand = 2,
         sizeRatioMinJaccard = 0.5).count())
+    tick("2c join-form cand+verify ")(graft.ops.Sketches.jaccardVerify(asDocs,
+      graft.ops.Sketches.minhashCandidatePairs(asDocs, shingleN = 1, bands = 4,
+        rowsPerBand = 2), shingleN = 1, minJaccard = 0.5).count())
     val verified = graft.threads.Threads.fuzzyVerifiedPairs(titles)
-    tick("2 cand+verify pairs      ")(verified.count())
+    tick("2 inline cand+verify     ")(verified.count())
     tick("3 + connected components ")(graft.ops.Dedup.connectedComponentsAuto(verified).count())
     tick("full again (titles warm) ")(graft.threads.Threads.threadsFuzzy(classified).count())
     titles.unpersist()

@@ -230,6 +230,59 @@ object Sketches {
     }
   }
 
+  /** Candidate generation + exact-Jaccard verification FUSED into the
+    * banding stage (VERDICT r6 item 4) — for corpora whose distinct-
+    * shingle sets are SMALL and bounded (titles: 3-10 tokens ⇒ ≤ ~80
+    * bytes/row riding the band explode). The join form
+    * ([[minhashCandidatePairs]] → [[jaccardVerify]]) shuffles the
+    * candidate-pair table TWICE against the shingle table just to
+    * intersect ≤10-element arrays; here the sorted distinct shingle-hash
+    * array itself rides through [[bandRows]] and the anchor aggregate, so
+    * each candidate row already holds both sets and verifies inline —
+    * zero verify joins, and the pair-dedup shuffle runs over the
+    * verified (~5% precision) survivors instead of the raw candidates.
+    *
+    * Pair-set equivalence with the join form (SketchAccuracySpec pin):
+    * the anchor is min(struct(doc_id, sh)) = the min-doc_id row (doc_id
+    * unique within a bucket), identical to the plain path's
+    * min(doc_id); jaccard is the same array_intersect/array_union
+    * division over the same `.distinct.sorted` hash arrays
+    * ([[shingleTable]]'s definition); verify-then-distinct ≡
+    * distinct-then-verify because jaccard is a pure function of the
+    * pair. DOCUMENT dedup keeps the join form — its shingle arrays are
+    * unbounded (thousands of hashes/doc) and may not ride a ×bands
+    * explode + groupBy.
+    */
+  def minhashVerifiedPairsInline(docs: DataFrame, shingleN: Int, bands: Int,
+                                 rowsPerBand: Int,
+                                 minJaccard: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigSh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = shingleHashes(text, shingleN)
+        val sig = minhash(raw, bands * rowsPerBand)
+        if (sig.isEmpty) None else Some((id, sig, raw.distinct.sorted))
+      })
+      .toDF("doc_id", "sig", "sh")
+    val banded = bandRows(sigSh, bands, rowsPerBand, Seq("sh"))
+    val anchors = banded.groupBy(col("band"), col("bkey"))
+      .agg(min(struct(col("doc_id"), col("sh"))).as("a"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("band"), col("bkey"),
+        col("a.doc_id").as("anchor"), col("a.sh").as("anchor_sh"))
+    banded.join(anchors, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("anchor"))
+      .withColumn("jaccard",
+        size(array_intersect(col("anchor_sh"), col("sh"))).cast("double") /
+          size(array_union(col("anchor_sh"), col("sh"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"),
+        col("jaccard"))
+      .distinct() // pairs sharing several bands appear once; jaccard is pair-determined
+  }
+
   /** (doc_id, sh) 64-bit simhash per doc — shared base of the dup-group
     * / near-pair tails and of Verify's external oracle.
     */

@@ -126,24 +126,29 @@ object Threads {
       .cache()
 
   /** Verified fuzzy-duplicate title pairs (a, b) over [[fuzzyTitles]]:
-    * minhash anchor-star candidates → exact token-Jaccard filter.
+    * minhash anchor-star candidates with the exact token-Jaccard filter
+    * FUSED into the candidate stage (VERDICT r6 item 4) — titles are
+    * 3-10 tokens, so the sorted token-hash array (~80 bytes) rides the
+    * banding instead of paying two id-keyed verify joins against a
+    * shingle table (the join form shuffled the ~4M-candidate table twice
+    * at 1M titles for a 4.7% verify precision). Anchor-star pairs stay
+    * untruncated even for huge buckets of templated titles; CC restores
+    * transitivity. Pair-set identity with the join form is pinned by
+    * SketchAccuracySpec.
+    * DELIBERATELY NOT size-ratio prefiltered (VERDICT r5 item 1,
+    * measured and refuted for THIS path): titles are near-uniform in
+    * size — FuzzyProfile at 1.06M distinct titles measured the lossless
+    * bound removing only 0.40% of 4.07M candidates (failing pairs are
+    * same-size different-token pairs). The bound earns its keep on
+    * heavy-tailed DOCUMENT lengths instead — see Dedup.nearDupPairs;
+    * the document path also keeps the JOIN-form verify (unbounded
+    * shingle arrays must not ride a ×bands explode).
     */
   def fuzzyVerifiedPairs(titles: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     import graft.ops.Sketches
     val asDocs = titles.select(col("tid").as("doc_id"), col("title_norm").as("text"))
-    // anchor-star candidate pairs (untruncated even for huge buckets of
-    // templated titles); CC restores transitivity.
-    // DELIBERATELY NOT size-ratio prefiltered (VERDICT r5 item 1,
-    // measured and refuted for THIS path): titles are 3-10 tokens, so
-    // min/max token-count ratio ≥ 0.5 for almost every candidate —
-    // FuzzyProfile at 1.06M distinct titles measured the lossless bound
-    // removing only 0.40% of 4.07M candidates (failing pairs are
-    // same-size different-token pairs) while the count plumbing added
-    // ~30% to the candidate stage. The bound earns its keep on
-    // heavy-tailed DOCUMENT lengths instead — see Dedup.nearDupPairs.
-    val cand = Sketches.minhashCandidatePairs(asDocs, shingleN = 1, bands = 4,
-        rowsPerBand = 2)
-    Sketches.jaccardVerify(asDocs, cand, shingleN = 1, minJaccard)
+    Sketches.minhashVerifiedPairsInline(asDocs, shingleN = 1, bands = 4,
+        rowsPerBand = 2, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
   }
 

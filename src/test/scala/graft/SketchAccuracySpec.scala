@@ -104,6 +104,32 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("inline-verify pairs ≡ join-form candidate+verify pairs (title shape)") {
+    import spark.implicits._
+    // the fuzzy-thread corpus shape: short token sets, including a hot
+    // bucket of identical titles (anchor-star must match exactly) and
+    // near-dups that pass/fail the 0.5 Jaccard cutoff both ways
+    val docs = ((0 until 260).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      val toks = base.take(2 + i % 4) ++ Seq(s"t${i % 9}", s"u${i % 23}")
+      (i.toLong, toks.mkString(" "))
+    } ++ (260 until 300).map(i => (i.toLong, "hot bucket identical title words")))
+      .toDF("doc_id", "text")
+    val joinForm = Sketches.jaccardVerify(docs,
+        Sketches.minhashCandidatePairs(docs, shingleN = 1, bands = 4, rowsPerBand = 2),
+        shingleN = 1, minJaccard = 0.5)
+      .select($"doc_id_a", $"doc_id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Sketches.minhashVerifiedPairsInline(docs, shingleN = 1,
+        bands = 4, rowsPerBand = 2, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // exact set equality INCLUDING the jaccard value (same division over
+    // the same .distinct.sorted hash arrays) — the fuzzy-thread tail and
+    // its DuckDB oracle both hang off this identity
+    assert(inline == joinForm)
+    assert(inline.size > 50, s"non-vacuous: ${inline.size}") // hot bucket alone is C(40+,2)-ish via CC later
+  }
+
   test("simhash near pairs equal the brute-force hamming closure") {
     import spark.implicits._
     val docs = (0 until 120).map(i => (i.toLong, docText(i / 3))).toDF("doc_id", "text")
