@@ -2,10 +2,11 @@ package graft.functions
 
 import graft.extract.TitleKey
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the clustering-key functions
@@ -26,6 +27,30 @@ object Impl {
   def simhashOfTitle(s: UTF8String): Long =
     if (s == null) 0L
     else TitleKey.simhash64(TitleKey.tokens(TitleKey.normTitle(s.toString)))
+
+  /** Cosine similarity over two `array<float>` values with the
+    * Similarity.dotNorm kernel's exact semantics: floats widened to
+    * double BEFORE multiplying, three accumulators folded left-to-right
+    * in ONE primitive loop (bitwise-identical to the separate
+    * cast-to-double zip_with/aggregate folds it replaces — per-
+    * accumulator summation order is unchanged), min-length pairing,
+    * zero-norm → 0.0 (never NaN: NaN sorts above every sim in a rank
+    * window). Precondition: non-null elements (the embedding tables
+    * guarantee it); a single JIT-compiled static call — no per-row
+    * array casts, no zip_with intermediates, no interpreted lambdas.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
 }
 
 /** lower + strip non-letter/digit + collapse spaces (deviation D1). */
@@ -50,12 +75,33 @@ case class SimHash64Title(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64_title"
 }
 
+/** Native cosine similarity over two `array<float>` columns — the ANN
+  * candidate-scoring kernel (ivfSearch / lshBucketTopK /
+  * lshMultiProbeTopK / cosineDupPairs verify). The zip_with+aggregate
+  * Column form it replaces allocated two cast arrays + three zip_with
+  * intermediates and evaluated interpreted lambdas per element — the
+  * dominant per-candidate cost at every tier (see BENCH/BASELINE.md r7).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Impl.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impl.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
 object GraftFunctions {
 
   def norm_title(c: Column): Column =
     GraftColumnBridge.column(NormTitle(GraftColumnBridge.expression(c)))
   def simhash64_title(c: Column): Column =
     GraftColumnBridge.column(SimHash64Title(GraftColumnBridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Register for SQL parity: `SELECT norm_title(title), simhash64_title(title)`.
     * detect_lang rides along as a plain UDF (SURVEY.md §2 P2).
@@ -65,6 +111,8 @@ object GraftFunctions {
       "norm_title", exprs => NormTitle(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_title", exprs => SimHash64Title(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.udf.register("detect_lang", (s: String) => graft.lang.LangId.detect(s))
   }
 }

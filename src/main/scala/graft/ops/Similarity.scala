@@ -206,20 +206,20 @@ object Similarity {
   /** [[cosineExpr]] with the [[dotNorm]] kernel's exact semantics: floats
     * widened to double BEFORE multiplying and zero-norm vectors scoring
     * 0.0 instead of NaN (NaN sorts above every sim in a rank window —
-    * a zero vector would otherwise corrupt top-k order). Pure Column
-    * expression → whole-stage codegen, no ScalaUDF ser/de on the hot
-    * candidate-scoring path.
+    * a zero vector would otherwise corrupt top-k order).
+    *
+    * r7: now the NATIVE codegen expression `graft.functions.CosineSim`
+    * (one JIT-compiled primitive loop per row). The previous zip_with+
+    * aggregate form allocated two cast-to-double arrays plus three
+    * zip_with intermediates and ran interpreted lambdas per element —
+    * measured as the dominant per-candidate cost of every ANN query
+    * (sf1: ann_ivf_topk 16.4 s → see BENCH/BASELINE.md r7). Result is
+    * bitwise-identical (same left-to-right double accumulation, same
+    * zero-norm rule — SimilaritySpec pins equality incl. zero vectors),
+    * so the DuckDB ANN oracles are untouched.
     */
-  def cosineExprSafe(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    val na = dot(ad, ad)
-    val nb = dot(bd, bd)
-    when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dot(ad, bd) / sqrt(na * nb))
-  }
+  def cosineExprSafe(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** IVF (inverted-file) ANN: coarse k-means centroids partition the
     * corpus; a query probes only its `nProbe` nearest centroids' lists.

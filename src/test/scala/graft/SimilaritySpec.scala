@@ -153,6 +153,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.contains(0.0))
   }
 
+  test("native CosineSim ≡ old zip_with/cast form BITWISE (incl. zero vectors)") {
+    import spark.implicits._
+    // the r7 native kernel replaced the cast-to-double zip_with/aggregate
+    // Column form; the ANN rank order (all four ann_*/emb_* oracles) hangs
+    // off these doubles, so equality must be BITWISE, not approximate —
+    // both accumulate left-to-right in double, so it is
+    def oldForm(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+      val na = dot(ad, ad); val nb = dot(bd, bd)
+      when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(dot(ad, bd) / sqrt(na * nb))
+    }
+    val zero = Seq((-1L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val pairs = emb.select(col("vec_id"), col("embedding")).unionByName(zero).limit(30)
+      .crossJoin(emb.limit(30).select(col("vec_id").as("v2"), col("embedding").as("e2")))
+    val both = pairs.select(
+      Similarity.cosineExprSafe(col("embedding"), col("e2")).as("native"),
+      oldForm(col("embedding"), col("e2")).as("old"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, o) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(o), s"$n vs $o")
+    }
+    // and the plan is the single native call — no higher-order lambdas left
+    val plan = pairs.select(Similarity.cosineExprSafe(col("embedding"), col("e2")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), plan.take(1500))
+    assert(!plan.contains("zip_with"), plan.take(1500))
+  }
+
   test("dotNorm kernel paths share the zero-norm semantics (brute force, no NaN)") {
     import spark.implicits._
     // ADVICE r2: a zero vector in the corpus must score 0.0 on EVERY path
