@@ -379,6 +379,11 @@ object ScalingBench {
     def tick[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
     }
+    // per-repeat extraction tell: the ONLY trustworthy noise signal on
+    // this host (CPU steal is load-average-invisible — r6/r7 both caught
+    // same-command 30% swings within an hour); compare against the
+    // documented quiet refs in BENCH/BASELINE.md before trusting a repeat
+    val tellDocsPerSec = nDocs / Bench.timeExtractParquetExpr(spark, pq)._2
     val bc = graft.gloss.Classify.dictsBroadcast(spark)
     val tAll0 = System.nanoTime()
     val slim = graft.extract.ExtractTitleExpr.run(spark.read.parquet(pq))
@@ -397,6 +402,7 @@ object ScalingBench {
     val total = (System.nanoTime() - tAll0) / 1e9
     th.unpersist(); cls.unpersist()
     s"""{"profile":"pipeline","cpus":$cpus,"docs":$nDocs,"repeat":$repeat,""" +
+      s""""tell_docs_per_sec":${tellDocsPerSec.round},""" +
       s""""extract_idf_collect":$tIdf,"bc_idf":$tBc,""" +
       s""""classify_threads":$tThreads,"top":$tTop,"total":$total}"""
   }
