@@ -263,14 +263,16 @@ object Bench {
         sweepsRetried += 1
         val tell1 = tellNow(updateRef = false)
         val run1 = sweep()
-        // adoption rule (ADVICE r6, made explicit): a replacement at or
-        // above the gate is a clean measurement — adopt it; below the
-        // gate both runs are contaminated, so keep whichever had the
-        // higher tell and leave the slot flagged (flags recompute from
-        // FINAL tells below, so a still-contaminated adoptee stays
-        // disclosed — the retry can reduce contamination, never hide it)
-        val cleanReplacement = tell1 >= 0.6 * gateRef
-        if (cleanReplacement || tell1 > chosen(idx)._2) chosen(idx) = ((run1, tell1))
+        // adoption rule (ADVICE r6): keep whichever run had the higher
+        // tell. This IS the explicit two-case rule — a slot is only
+        // retried when its tell is already below 0.6·gateRef, so a
+        // clean (at-or-above-gate) replacement necessarily has the
+        // higher tell and is adopted; below the gate both runs are
+        // contaminated and the less-contaminated one wins. Flags
+        // recompute from FINAL tells below, so a still-contaminated
+        // adoptee stays disclosed — the retry can reduce contamination,
+        // never hide it.
+        if (tell1 > chosen(idx)._2) chosen(idx) = ((run1, tell1))
       }
       idx += 1
     }

@@ -243,23 +243,21 @@ object Main {
 
     // a table whose committed units were bucketed by a DIFFERENT key is a
     // verb/--out mismatch (e.g. `threads --out <news-table>`), not input
-    // drift — surface it as the usage error it is (exit 2) instead of the
-    // library's IllegalArgumentException stack trace (ADVICE r6)
-    def requireKeying(out: String, keyCol: String): Unit = {
-      val recorded = Checkpoint.recordedKeyCols(out)
-      if (recorded.nonEmpty && recorded != Set(keyCol))
-        throw new CliArgError(
-          s"--out $out holds a table keyed by '${recorded.mkString(",")}' " +
-            s"but this verb writes tables keyed by '$keyCol' — point --out " +
-            "at a fresh directory or rerun the verb that wrote it")
-    }
-
+    // drift — the library's audit/resume raise the typed KeyingMismatch
+    // (ONE predicate, one manifest read); surface it as the usage error
+    // it is (exit 2) instead of a stack trace (ADVICE r6)
     def writeOut(input: org.apache.spark.sql.DataFrame, keyCol: String,
                  transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
       opts.get("out").foreach { out =>
-        requireKeying(out, keyCol)
-        auditIfRequested(input, keyCol, out)
-        Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
+        try {
+          auditIfRequested(input, keyCol, out)
+          Checkpoint.resume(spark, input, keyCol, transform, out, buckets)
+        } catch {
+          case e: Checkpoint.KeyingMismatch =>
+            throw new CliArgError(
+              e.getMessage + " — point --out at a fresh directory or " +
+                "rerun the verb that wrote it")
+        }
       }
 
     verb match {
@@ -348,22 +346,33 @@ object Main {
           // — keyed by title_norm or component — reported spurious drift):
           // doc_id and title_norm slices are reproducible from the
           // classified frame here; a component-keyed table needs the
-          // fuzzy clustering this verb doesn't run, so it refuses with
-          // the real story instead of a drift report.
-          opts.get("out").foreach { out =>
-            Checkpoint.recordedKeyCols(out).toList match {
-              case Nil | List("doc_id") =>
-                auditIfRequested(classified.toDF().select(col("doc_id")), "doc_id", out)
-              case List("title_norm") =>
-                auditIfRequested(classified.toDF().select(col("title_norm")), "title_norm", out)
-              case other =>
-                if (opts.get("validate").contains("true"))
+          // fuzzy clustering this verb doesn't run, and a pre-key_col
+          // table's keying is UNKNOWN (r7 review: the bare column set
+          // conflated that with "no committed units" and audited it by
+          // doc_id — spurious drift again) — both refuse with the real
+          // story instead of a drift report.
+          if (opts.get("validate").contains("true"))
+            opts.get("out").foreach { out =>
+              val (nCommitted, recorded) = Checkpoint.recordedKeying(out)
+              recorded.toList match {
+                case _ if nCommitted == 0 => // nothing committed: audit is vacuous
+                case List("doc_id") =>
+                  auditIfRequested(classified.toDF().select(col("doc_id")), "doc_id", out)
+                case List("title_norm") =>
+                  auditIfRequested(classified.toDF().select(col("title_norm")), "title_norm", out)
+                case Nil =>
+                  throw new CliArgError(
+                    s"--out $out holds committed units whose manifests predate " +
+                      "key recording — debug cannot audit by recorded keying; " +
+                      "run the audit via the verb that wrote the table (its " +
+                      "audit asserts the key explicitly)")
+                case other =>
                   throw new CliArgError(
                     s"--out $out holds a table keyed by '${other.mkString(",")}' — " +
                       "debug cannot audit it; run the audit via the verb that " +
                       "wrote the table (e.g. threads --fuzzy --validate true)")
+              }
             }
-          }
           commitIdf()
         } finally release()
 

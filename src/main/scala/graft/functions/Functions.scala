@@ -2,11 +2,11 @@ package graft.functions
 
 import graft.extract.TitleKey
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the clustering-key functions
@@ -54,7 +54,8 @@ object Impl {
 }
 
 /** lower + strip non-letter/digit + collapse spaces (deviation D1). */
-case class NormTitle(child: Expression) extends UnaryExpression {
+case class NormTitle(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     Impl.normTitle(v.asInstanceOf[UTF8String])
@@ -65,7 +66,8 @@ case class NormTitle(child: Expression) extends UnaryExpression {
 }
 
 /** simhash64 over the normalized title's tokens (the clustering key). */
-case class SimHash64Title(child: Expression) extends UnaryExpression {
+case class SimHash64Title(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     java.lang.Long.valueOf(Impl.simhashOfTitle(v.asInstanceOf[UTF8String]))
@@ -82,7 +84,13 @@ case class SimHash64Title(child: Expression) extends UnaryExpression {
   * intermediates and evaluated interpreted lambdas per element — the
   * dominant per-candidate cost at every tier (see BENCH/BASELINE.md r7).
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  // STRICT array<float> (no implicit cast): the kernel reads 4-byte
+  // element strides via ArrayData.getFloat — over an UnsafeArrayData
+  // written with 8-byte doubles that would silently return garbage
+  // similarities, so any other element type must fail ANALYSIS, and an
+  // implicit double→float cast would quietly change the scored values
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Impl.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -106,13 +114,25 @@ object GraftFunctions {
   /** Register for SQL parity: `SELECT norm_title(title), simhash64_title(title)`.
     * detect_lang rides along as a plain UDF (SURVEY.md §2 P2).
     */
+  // SQL-side arity check: a wrong-arity call must read as a usage error,
+  // not an IndexOutOfBoundsException from exprs(1)
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "norm_title", exprs => NormTitle(exprs.head), "built-in")
+      "norm_title", exprs => NormTitle(arity("norm_title", 1, exprs).head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64_title", exprs => SimHash64Title(exprs.head), "built-in")
+      "simhash64_title", exprs => SimHash64Title(arity("simhash64_title", 1, exprs).head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      "cosine_sim", { exprs0 =>
+        val exprs = arity("cosine_sim", 2, exprs0)
+        CosineSim(exprs.head, exprs(1))
+      }, "built-in")
     spark.udf.register("detect_lang", (s: String) => graft.lang.LangId.detect(s))
   }
 }

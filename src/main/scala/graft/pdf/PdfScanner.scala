@@ -152,12 +152,39 @@ object PdfScanner {
     val n = bytes.length
     val out = new scala.collection.mutable.ArrayBuffer[(Int, String, Array[Byte])]
     // integer objects (`12 0 obj 345 endobj`) resolve indirect /Length
-    // refs; built lazily — most files carry only direct lengths
-    var intObjs: java.util.HashMap[Integer, Integer] = null
-    def indirectLength(dict: String): Option[Int] =
+    // refs; built lazily — most files carry only direct lengths. A
+    // resolved length is trusted only when the bytes it points at are
+    // actually followed by the `endstream` close (after optional EOL/ws):
+    // the scan sees EVERY `N G obj <int> endobj` in the file, including
+    // impostors inside raw stream payloads, and writers legally emit the
+    // real length object on EITHER side of the stream (this synth puts it
+    // after, "when the length becomes known") — so neither first- nor
+    // last-binding order is safe; only the binding the stream itself
+    // corroborates is.
+    var intObjs: java.util.HashMap[Integer, java.util.ArrayList[Integer]] = null
+    def endstreamAt(k0: Int): Boolean = {
+      var k = k0
+      while (k < n && (bytes(k) == ' ' || bytes(k) == '\r' || bytes(k) == '\n' ||
+        bytes(k) == '\t' || bytes(k) == 0 || bytes(k) == '\f')) k += 1
+      k + 9 <= n && bytes(k) == 'e' && bytes(k + 1) == 'n' && bytes(k + 2) == 'd' &&
+        bytes(k + 3) == 's' && bytes(k + 4) == 't' && bytes(k + 5) == 'r' &&
+        bytes(k + 6) == 'e' && bytes(k + 7) == 'a' && bytes(k + 8) == 'm'
+    }
+    def indirectLength(dict: String, dataStart: Int): Option[Int] =
       IndirectLenRe.findFirstMatchIn(dict).flatMap { m =>
         if (intObjs == null) intObjs = scanIntObjects(bytes)
-        Option(intObjs.get(Integer.valueOf(m.group(1).toInt))).map(_.intValue)
+        val cands = intObjs.get(Integer.valueOf(m.group(1).toInt))
+        if (cands == null) None
+        else {
+          var pick = -1
+          var ci = 0
+          while (pick < 0 && ci < cands.size()) {
+            val len = cands.get(ci).intValue
+            if (dataStart.toLong + len <= n && endstreamAt(dataStart + len)) pick = len
+            ci += 1
+          }
+          if (pick >= 0) Some(pick) else None
+        }
       }
     var i = 0
     while (i < n) {
@@ -181,7 +208,7 @@ object PdfScanner {
         // stream bytes may legitimately end in 0x0a/0x0d (eaten by the
         // EOL-trim fallback) or even contain the `endstream` token
         // itself (truncating the fallback mid-stream)
-        val dataEnd = directLength(dict).orElse(indirectLength(dict)) match {
+        val dataEnd = directLength(dict).orElse(indirectLength(dict, dataStart)) match {
           case Some(len) if len >= 0 && dataStart.toLong + len <= n => dataStart + len
           case _ =>
             var e = if (endPos < 0) n else endPos
@@ -212,9 +239,14 @@ object PdfScanner {
   /** All integer objects (`N G obj 345 endobj`) — the layout of indirect
     * `/Length` targets. Same lenient token-delimited `obj` walk as
     * [[scanObjectDicts]]; only token-clean `int … endobj` bodies qualify.
+    * EVERY binding is kept in scan order (a raw stream payload can embed
+    * an impostor with the real target's object number on either side of
+    * the real one — the resolver picks the binding whose length the
+    * stream's own `endstream` close corroborates, so order is evidence,
+    * not authority).
     */
-  private[graft] def scanIntObjects(bytes: Array[Byte]): java.util.HashMap[Integer, Integer] = {
-    val out = new java.util.HashMap[Integer, Integer]()
+  private[graft] def scanIntObjects(bytes: Array[Byte]): java.util.HashMap[Integer, java.util.ArrayList[Integer]] = {
+    val out = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
     val n = bytes.length
     def isWs(b: Byte): Boolean =
       b == ' ' || b == '\r' || b == '\n' || b == '\t' || b == 0 || b == '\f'
@@ -239,13 +271,11 @@ object PdfScanner {
           val endobjOk = k + 6 <= n && bytes(k) == 'e' && bytes(k + 1) == 'n' &&
             bytes(k + 2) == 'd' && bytes(k + 3) == 'o' && bytes(k + 4) == 'b' &&
             bytes(k + 5) == 'j'
-          // FIRST binding wins (ADVICE r6): the real top-level length
-          // object precedes any `N G obj <int> endobj` impostor that
-          // happens to sit inside a later raw stream's payload — last-put
-          // would let the in-data impostor overwrite the real length and
-          // mis-bound the stream
-          if (digits <= 9 && endobjOk && v <= Int.MaxValue)
-            out.putIfAbsent(num, v.toInt)
+          if (digits <= 9 && endobjOk && v <= Int.MaxValue) {
+            var lst = out.get(num)
+            if (lst == null) { lst = new java.util.ArrayList[Integer](1); out.put(num, lst) }
+            lst.add(Integer.valueOf(v.toInt))
+          }
         }
       }
       from = p + 3

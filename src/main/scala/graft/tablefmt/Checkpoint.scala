@@ -75,22 +75,43 @@ object Checkpoint {
     }
   }
 
+  /** Thrown when an operation's declared key column contradicts the key
+    * the table's committed units record — an IllegalArgumentException so
+    * library callers keep their existing handling, but typed so the CLI
+    * can surface it as the usage error it is (exit 2, no stack trace).
+    */
+  final class KeyingMismatch(msg: String) extends IllegalArgumentException(msg)
+
+  /** (committed-unit count, recorded key columns). Distinguishes the two
+    * empty-keyCols cases a bare column set conflates: count == 0 means no
+    * committed units (nothing to audit), count > 0 with empty keyCols
+    * means the manifests predate key_col recording — the keying is
+    * UNKNOWN, which callers that GUESS a key (CLI debug) must refuse
+    * rather than audit under a default.
+    */
+  def recordedKeying(out: String): (Int, Set[String]) = {
+    val ms = readManifests(out)
+    (ms.size, ms.map(_.keyCol).filter(_.nonEmpty).toSet)
+  }
+
   /** The key column the table's committed units were bucketed by, when
     * recorded (r7+ manifests). Empty set = no committed units or pre-r7
     * manifests.
     */
-  def recordedKeyCols(out: String): Set[String] =
-    readManifests(out).map(_.keyCol).filter(_.nonEmpty).toSet
+  def recordedKeyCols(out: String): Set[String] = recordedKeying(out)._2
 
   /** A fingerprint audit or a resume against a table whose committed
     * units were bucketed by a DIFFERENT key is meaningless (every bucket
     * hash differs) — fail with the real story instead of a spurious
-    * drift report / a silently-forked table (ADVICE r6).
+    * drift report / a silently-forked table (ADVICE r6). Pre-key_col
+    * manifests record no key: the check SKIPS (the caller asserts the
+    * key, and refusing would block legitimate same-keyed resumes of
+    * older tables — ResumeSpec pins the skip).
     */
   def requireSameKeying(out: String, keyCol: String): Unit = {
     val recorded = recordedKeyCols(out)
     if (recorded.nonEmpty && recorded != Set(keyCol))
-      throw new IllegalArgumentException(
+      throw new KeyingMismatch(
         s"table at $out is keyed by '${recorded.mkString(",")}' but this " +
           s"operation uses key '$keyCol' — not input drift; run it via " +
           "the verb/keying that wrote the table")

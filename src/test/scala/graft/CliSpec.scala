@@ -256,6 +256,24 @@ class CliSpec extends AnyFunSuite {
       quiet("news", Map("synth" -> "300", "out" -> out, "buckets" -> "4"))
     }
     assert(eVerb.getMessage.contains("keyed by 'title_norm'"))
+    // pre-key_col manifests (keying UNKNOWN): debug must refuse the
+    // recorded-keying audit with the real story, NOT fall back to a
+    // doc_id audit of the title_norm-keyed table (which reports every
+    // bucket drifted on an unchanged corpus — the exact spurious-drift
+    // failure the recorded keying exists to prevent)
+    val mdir = java.nio.file.Paths.get(out, "_manifest")
+    java.nio.file.Files.list(mdir).iterator().forEachRemaining { p =>
+      val s = java.nio.file.Files.readString(p)
+        .replaceAll(""","key_col":"[^"]*"""", "")
+      java.nio.file.Files.writeString(p, s)
+    }
+    assert(graft.tablefmt.Checkpoint.recordedKeying(out)._1 > 0)
+    assert(graft.tablefmt.Checkpoint.recordedKeyCols(out).isEmpty)
+    val ePre = intercept[Main.CliArgError] {
+      quiet("debug",
+        Map("synth" -> "300", "out" -> out, "buckets" -> "4", "validate" -> "true"))
+    }
+    assert(ePre.getMessage.contains("predate key recording"), ePre.getMessage)
   }
 
   test("golden parity: all five verbs byte-exact vs checked-in goldens") {

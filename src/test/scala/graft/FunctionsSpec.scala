@@ -43,6 +43,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(2) == "en")
   }
 
+  test("cosine_sim rejects non-float arrays and wrong arity at ANALYSIS, not with garbage values") {
+    GraftFunctions.register(spark)
+    // array<float>: works in SQL and matches the kernel
+    val ok = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS s").head().getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+    // array<double>: the kernel reads 4-byte strides — without the input
+    // type check an UnsafeArrayData written with 8-byte doubles returns
+    // silent garbage; it must fail analysis instead
+    val eDouble = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d))").head()
+    }
+    assert(eDouble.getMessage.toLowerCase.contains("cosine_sim") ||
+      eDouble.getMessage.contains("DATATYPE_MISMATCH"), eDouble.getMessage)
+    // array<int> likewise
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1, 2), array(1, 2))").head()
+    }
+    // wrong arity: a usage error, not IndexOutOfBoundsException
+    val eArity = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(cast(1.0 as float)))").head()
+    }
+    assert(!eArity.isInstanceOf[IndexOutOfBoundsException])
+    assert(Option(eArity.getMessage).exists(_.contains("cosine_sim")), eArity.toString)
+    // the strict check accepts nullable-element float arrays (sameType
+    // ignores containsNull) — the embedding tables are exactly that shape
+    import spark.implicits._
+    val emb = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    assert(emb.select(GraftFunctions.cosine_sim(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
   test("expression stays inside whole-stage codegen (no ScalaUDF)") {
     // parquet-backed (a local Seq would be constant-folded to LocalTableScan)
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -212,18 +212,22 @@ class PdfSpec extends AnyFunSuite {
     // the string is never shown), never a throw
     assert(PdfScanner.extract(pdf(withLenObj = false)).title == "")
     // integer-object scan: token-clean int bodies only, hostile input safe
+    import scala.jdk.CollectionConverters._
+    def bindings(m: java.util.HashMap[Integer, java.util.ArrayList[Integer]], k: Int): Seq[Int] =
+      Option(m.get(k)).map(_.asScala.map(_.intValue).toSeq).getOrElse(Nil)
     val ints = PdfScanner.scanIntObjects(
       ("1 0 obj 345 endobj\n2 0 obj << /D 1 >> endobj\n3 0 obj 99999999999999 endobj\n" +
         "4 0 obj 17 trailer\n5 0 obj 42 endobj garbage").getBytes(UTF_8))
-    assert(ints.get(1) == 345 && ints.get(5) == 42)
-    assert(ints.get(2) == null) // dict body
-    assert(ints.get(3) == null) // oversized digits
-    assert(ints.get(4) == null) // no endobj
-    // FIRST binding wins (ADVICE r6): a raw stream payload that happens
-    // to contain `12 0 obj 7 endobj` AFTER the real length object must
-    // not overwrite it and mis-bound the stream
-    assert(PdfScanner.scanIntObjects(
-      "12 0 obj 345 endobj\njunk 12 0 obj 7 endobj".getBytes(UTF_8)).get(12) == 345)
+    assert(bindings(ints, 1) == Seq(345) && bindings(ints, 5) == Seq(42))
+    assert(bindings(ints, 2).isEmpty) // dict body
+    assert(bindings(ints, 3).isEmpty) // oversized digits
+    assert(bindings(ints, 4).isEmpty) // no endobj
+    // ALL bindings are recorded in scan order — an in-payload impostor
+    // with the real target's object number can sit on EITHER side of the
+    // real object, so the resolver validates each candidate against the
+    // stream's own `endstream` close instead of trusting position
+    assert(bindings(PdfScanner.scanIntObjects(
+      "12 0 obj 345 endobj\njunk 12 0 obj 7 endobj".getBytes(UTF_8)), 12) == Seq(345, 7))
     val realLen = content.getBytes(UTF_8).length
     val impostorPdf = ("%PDF-1.4\n" +
       "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
@@ -234,6 +238,26 @@ class PdfSpec extends AnyFunSuite {
       "8 0 obj << /Length 24 >>\nstream\nxx 12 0 obj 7 endobj yy\nendstream\nendobj\n" +
       "%%EOF\n").getBytes(UTF_8)
     assert(PdfScanner.extract(impostorPdf).title == "before endstream after")
+    // the REAL-WRITER layout (PdfSynth emits the length object AFTER the
+    // stream, when the length becomes known): an impostor inside the
+    // indirect-length stream's OWN payload is scanned FIRST — a
+    // first-binding-wins rule would adopt len=7 and truncate the text to
+    // garbage; endstream-validation picks the trailing real object
+    val hostile = "see 12 0 obj 7 endobj here"
+    val hostileContent = s"BT /F1 12 Tf ($hostile) Tj ET"
+    val hostileLen = hostileContent.getBytes(UTF_8).length
+    val impostorFirstPdf = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length 12 0 R >>\nstream\n" + hostileContent + "\nendstream\nendobj\n" +
+      s"12 0 obj $hostileLen endobj\n%%EOF\n").getBytes(UTF_8)
+    assert(PdfScanner.extract(impostorFirstPdf).title == hostile)
+    // and when NO binding validates (every candidate is an impostor), the
+    // resolver falls back to the lenient endstream scan, never mis-bounds
+    val orphanPdf = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length 12 0 R >>\nstream\nBT /F1 12 Tf (plain title) Tj ET\nendstream\nendobj\n" +
+      "12 0 obj 3 endobj\n%%EOF\n").getBytes(UTF_8)
+    assert(PdfScanner.extract(orphanPdf).title == "plain title")
   }
 
   test("hostile indirect-/Length paths never throw (VERDICT r6 item 6)") {
