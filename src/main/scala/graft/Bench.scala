@@ -481,6 +481,44 @@ object FuzzyProfile {
   }
 }
 
+/** Targeted per-query timing against SPARK_GRAFT_SF_DIR — the hotspot
+  * drill-down the full Bench sweep is too coarse for. Each repeat runs in
+  * a fresh `newSession()` (same cold-cache protocol as a Bench sweep) and
+  * prints every query's seconds; the noise tell (extraction docs/s, same
+  * cached parquet as Bench) brackets the repeats so a loaded host reads
+  * as a depressed tell, not a regression.
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 sbt "runMain graft.QueryProfile 3 doc_neardup_groups ext_threads_fuzzy" }}}
+  */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val repeats = if (args.nonEmpty) args(0).toInt else 3
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else Seq("doc_neardup_groups")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Bench.session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val nDocs = Bench.corpusDocs(sfDir)
+    val pq = Bench.corpusParquet(spark, nDocs, 128)
+    graft.gloss.Classify.defaultDicts
+    Bench.timeExtractParquetExpr(spark, pq) // warmup
+    (1 to repeats).foreach { r =>
+      val tell = nDocs / Bench.timeExtractParquetExpr(spark, pq)._2
+      val sess = spark.newSession()
+      val ts = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val n = fn(sess, sfDir).count()
+        f"$name=${(System.nanoTime() - t0) / 1e9}%.3f (rows=$n)"
+      }
+      sess.catalog.clearCache()
+      println(f"repeat $r tell=${tell.round} ${ts.mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
+
 /** `runMain graft.PipeProfile [nDocs] [repeats]` — see [[ScalingBench.profile]]. */
 object PipeProfile {
   def main(args: Array[String]): Unit = {

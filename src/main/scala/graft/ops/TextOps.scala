@@ -76,7 +76,15 @@ object TextOps {
         explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      // doc frequency = count, NOT countDistinct: array_distinct makes
+      // tokens unique within a doc and doc_id is the table's key, so each
+      // (doc_id, token) survives the explode exactly once — countDistinct
+      // here computed the identical value through an extra expand +
+      // distinct-shuffle on (token, doc_id) before the real aggregation
+      // (2 shuffles, no map-side combine on the first). A plain count is
+      // one map-side-combinable shuffle on token. TextOpsSpec pins the
+      // equality on a corpus with planted exact-dup TEXTS (distinct ids).
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
   /** Deterministic reproducible sampling: keep a row iff the first two

@@ -130,6 +130,36 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(inline.size > 50, s"non-vacuous: ${inline.size}") // hot bucket alone is C(40+,2)-ish via CC later
   }
 
+  test("one-pass verified pairs ≡ three-pass candidate+verify composition (document shape)") {
+    import spark.implicits._
+    // the DOCUMENT near-dup shape: multi-sentence texts (shingleN=3,
+    // unbounded shingle sets), heavy-tailed lengths so the size-ratio
+    // bound fires, a hot bucket of identical docs, and borderline
+    // near-dups on both sides of the 0.5 Jaccard cutoff
+    val docs = ((0 until 220).map { i =>
+      val base = (0 until 8 + i % 25).map(k => s"w${(k + i % 7) % 31}").mkString(" ")
+      val tail = (0 until i % 6).map(k => s"extra${i % 11}x$k").mkString(" ")
+      (i.toLong, if (tail.isEmpty) base else s"$base $tail")
+    } ++ (220 until 250).map(i =>
+      (i.toLong, "the same templated boilerplate page body repeated verbatim across mirrors")))
+      .toDF("doc_id", "text")
+    val composed = Sketches.jaccardVerify(docs,
+        Sketches.minhashCandidatePairs(docs, shingleN = 3,
+          sizeRatioMinJaccard = 0.5),
+        shingleN = 3, minJaccard = 0.5)
+      .select($"doc_id_a", $"doc_id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val onePass = Sketches.minhashVerifiedPairsJoin(docs, shingleN = 3,
+        minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // exact set equality INCLUDING jaccard values — nearDupPairs (and
+    // Verify's neardup_pairs base table / DuckDB recursive-CTE oracle)
+    // hang off this identity
+    assert(onePass == composed)
+    assert(onePass.nonEmpty)
+    assert(onePass.exists(_._3 < 1.0), "non-vacuous: borderline pairs present")
+  }
+
   test("simhash near pairs equal the brute-force hamming closure") {
     import spark.implicits._
     val docs = (0 until 120).map(i => (i.toLong, docText(i / 3))).toDF("doc_id", "text")

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("tokenDocFreq: plain count ≡ countDistinct(doc_id) when doc_id is the key") {
+    import spark.implicits._
+    // planted exact-dup TEXTS under DISTINCT ids (the sf1 dup shape),
+    // repeated tokens within a doc, case/whitespace noise, an empty doc —
+    // df must count DOCUMENTS (array_distinct collapses within-doc
+    // repeats), and the one-shuffle count form must equal the
+    // distinct-aggregation form exactly (each (doc_id, token) survives
+    // the explode once because doc_id is unique)
+    val docs = ((0L until 40L).map(i => (i, s"alpha beta beta tok$i  ALPHA")) ++
+      (40L until 50L).map(i => (i, "the same dup text body")) ++
+      Seq((50L, ""), (51L, "alpha")))
+      .toDF("doc_id", "text")
+    val fast = TextOps.tokenDocFreq(docs, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    val distinctForm = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .as[(String, Long)].collect().toMap
+    assert(fast == distinctForm)
+    // spot values: "alpha" appears once per doc 0-39 despite ALPHA/alpha
+    // within-doc repeats, plus doc 51
+    assert(fast("alpha") == 41L)
+    assert(fast("dup") == 10L)
+    assert(!fast.contains("tok3")) // df=1 < minDf
+    // and the plan actually lost the distinct aggregation: exactly one
+    // Exchange (on token), no expand/two-phase distinct
+    val plan = TextOps.tokenDocFreq(docs, minDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+}
