@@ -162,12 +162,17 @@ object Dedup {
     * recursive CTE over this table).
     */
   def nearDupPairs(docs: DataFrame, shingleN: Int = 3,
-                   minJaccard: Double = 0.5): DataFrame =
-    // anchor-star candidates + lossless size-ratio prefilter + exact
-    // verify, from ONE pinned kernel pass (the join composition re-ran
-    // the shingle kernel three times — see minhashVerifiedPairsJoin)
-    Sketches.minhashVerifiedPairsJoin(docs, shingleN, minJaccard = minJaccard)
+                   minJaccard: Double = 0.5): DataFrame = {
+    // anchor-star candidate pairs: linear in bucket size, no truncation;
+    // the size-ratio prefilter is lossless for this same minJaccard
+    // (see Sketches.minhashCandidatePairs). The lazy composition is the
+    // measured winner — pinned/gated variants were tried and refuted
+    // (see jaccardVerify's scaladoc).
+    val cand = Sketches.minhashCandidatePairs(docs, shingleN,
+      sizeRatioMinJaccard = minJaccard)
+    Sketches.jaccardVerify(docs, cand, shingleN, minJaccard)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+  }
 
   /** Full near-dup pipeline: LSH candidates → Jaccard verify →
     * connected components → groups with sizes + bounded member sample.

@@ -283,67 +283,6 @@ object Sketches {
       .distinct() // pairs sharing several bands appear once; jaccard is pair-determined
   }
 
-  /** Candidate generation + exact-Jaccard verify for UNBOUNDED shingle
-    * sets (documents) from ONE kernel pass. The join composition
-    * ([[minhashCandidatePairs]] → [[jaccardVerify]]) re-runs the
-    * tokenize+shingle+minhash kernel THREE times inside its single
-    * action — once for the cnt-carrying signatures and once per verify
-    * join side (nothing materializes the kernel output, and the two
-    * join sides shuffle on different keys so exchange reuse can't save
-    * them). Here the kernel runs ONCE, emitting (doc_id, sig, sh) with
-    * sh = sorted distinct shingle hashes; [[graft.tablefmt.LineageCut]]
-    * pins the pass (executor-memory localCheckpoint locally, reliable
-    * checkpoint under `spark.graft.checkpointDir` on a cluster), then
-    *  - banding reads (doc_id, sig, cnt = size(sh)) — the sh arrays do
-    *    NOT ride the ×bands explode (unbounded-array rule, see
-    *    [[minhashVerifiedPairsInline]]'s scaladoc);
-    *  - the verify joins read (doc_id, sh) from the same pinned pass.
-    * Pair-set equality with the join form (SketchAccuracySpec pin):
-    * same kernel, same [[bandRows]] projection, same
-    * min(struct(doc_id, cnt)) anchor (cnt = size(sh) ≡ the HashSet
-    * size [[minhashCandidatePairs]] carries), same lossless size-ratio
-    * bound, same array_intersect/array_union jaccard over the same
-    * `.distinct.sorted` arrays, distinct-before-verify ≡
-    * verify-before-distinct (jaccard is pair-determined).
-    */
-  def minhashVerifiedPairsJoin(docs: DataFrame, shingleN: Int = 3,
-                               bands: Int = 4, rowsPerBand: Int = 4,
-                               minJaccard: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = graft.tablefmt.LineageCut.cut(
-      docs.select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          val raw = shingleHashes(text, shingleN)
-          val sig = minhash(raw, bands * rowsPerBand)
-          if (sig.isEmpty) None else Some((id, sig, raw.distinct.sorted))
-        })
-        .toDF("doc_id", "sig", "sh"))
-    val banded = bandRows(
-      base.select(col("doc_id"), col("sig"), size(col("sh")).as("cnt")),
-      bands, rowsPerBand, Seq("cnt"))
-    val anchors = banded.groupBy(col("band"), col("bkey"))
-      .agg(min(struct(col("doc_id"), col("cnt"))).as("a"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("band"), col("bkey"),
-        col("a.doc_id").as("anchor"), col("a.cnt").as("anchor_cnt"))
-    val pairs = banded.join(anchors, Seq("band", "bkey"))
-      .filter(col("doc_id") =!= col("anchor"))
-      .filter(least(col("cnt"), col("anchor_cnt")).cast("double") /
-        greatest(col("cnt"), col("anchor_cnt")) >= minJaccard)
-      .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
-      .distinct()
-    pairs
-      .join(base.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), "doc_id_a")
-      .join(base.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), "doc_id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
-  }
-
   /** (doc_id, sh) 64-bit simhash per doc — shared base of the dup-group
     * / near-pair tails and of Verify's external oracle.
     */
@@ -442,8 +381,24 @@ object Sketches {
   }
 
   /** Exact word-shingle Jaccard for candidate pairs, kernel-backed:
-    * distinct shingle-hash sets per doc (computed once), then
-    * intersection/union on sorted long arrays.
+    * distinct shingle-hash sets per doc, then intersection/union on
+    * sorted long arrays.
+    *
+    * DELIBERATELY the lazy join form — three r7 restructurings were
+    * measured at sf1 and REFUTED (all slower, identical output):
+    *  1. one-pass (sig+sh) kernel pinned via LineageCut, banding + both
+    *     verify sides reading the pin: ~par locally, but materializes a
+    *     corpus-sized tokenized table — wrong at 100 TB;
+    *  2. eager-pinned pairs + candidate-semi-join-gated shingle kernel:
+    *     4.2 → 8-12 s (each eager pin is a sequential job barrier that
+    *     defeats AQE pipelining; candidate kernels are cheap anyway);
+    *  3. the same gate lazy (no pins): 4.2 → 6.8-9 s (the id-harvest
+    *     union breaks subplan canonicalization, so the candidate
+    *     pipeline runs twice and the semi join adds two stages).
+    * The lazy form stays one action: AQE broadcasts the small pair side
+    * (no corpus-sized shuffle), ReuseExchange dedups the two identical
+    * shingle-table subtrees, and nothing is ever materialized. See
+    * BENCH/BASELINE.md r7 "near-dup verify refutations".
     */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
                     minJaccard: Double = 0.8): DataFrame = {

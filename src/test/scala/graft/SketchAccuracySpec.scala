@@ -130,34 +130,42 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(inline.size > 50, s"non-vacuous: ${inline.size}") // hot bucket alone is C(40+,2)-ish via CC later
   }
 
-  test("one-pass verified pairs ≡ three-pass candidate+verify composition (document shape)") {
+  test("verified pairs match a driver-side brute-force Jaccard oracle (document shape)") {
     import spark.implicits._
     // the DOCUMENT near-dup shape: multi-sentence texts (shingleN=3,
     // unbounded shingle sets), heavy-tailed lengths so the size-ratio
     // bound fires, a hot bucket of identical docs, and borderline
     // near-dups on both sides of the 0.5 Jaccard cutoff
-    val docs = ((0 until 220).map { i =>
+    val rows = ((0 until 220).map { i =>
       val base = (0 until 8 + i % 25).map(k => s"w${(k + i % 7) % 31}").mkString(" ")
       val tail = (0 until i % 6).map(k => s"extra${i % 11}x$k").mkString(" ")
       (i.toLong, if (tail.isEmpty) base else s"$base $tail")
     } ++ (220 until 250).map(i =>
       (i.toLong, "the same templated boilerplate page body repeated verbatim across mirrors")))
-      .toDF("doc_id", "text")
-    val composed = Sketches.jaccardVerify(docs,
-        Sketches.minhashCandidatePairs(docs, shingleN = 3,
-          sizeRatioMinJaccard = 0.5),
-        shingleN = 3, minJaccard = 0.5)
-      .select($"doc_id_a", $"doc_id_b", $"jaccard")
-      .as[(Long, Long, Double)].collect().toSet
-    val onePass = Sketches.minhashVerifiedPairsJoin(docs, shingleN = 3,
-        minJaccard = 0.5)
+    val docs = rows.toDF("doc_id", "text")
+    val cand = Sketches.minhashCandidatePairs(docs, shingleN = 3,
+      sizeRatioMinJaccard = 0.5)
+    val candSet = cand.as[(Long, Long)].collect().toSet
+    // independent reference: the same kernel's shingle sets, but the
+    // jaccard computed per pair ON THE DRIVER with plain set arithmetic —
+    // any plan-shape change to jaccardVerify (join order, gating, pins)
+    // must reproduce these exact values
+    val shsBy = rows.map { case (id, t) =>
+      id -> Sketches.shingleHashes(t, 3).toSet
+    }.toMap
+    val oracle = candSet.flatMap { case (a, b) =>
+      val (sa, sb) = (shsBy(a), shsBy(b))
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      if (j >= 0.5) Some((a, b, j)) else None
+    }
+    val verified = Sketches.jaccardVerify(docs, cand, shingleN = 3, minJaccard = 0.5)
       .as[(Long, Long, Double)].collect().toSet
     // exact set equality INCLUDING jaccard values — nearDupPairs (and
     // Verify's neardup_pairs base table / DuckDB recursive-CTE oracle)
     // hang off this identity
-    assert(onePass == composed)
-    assert(onePass.nonEmpty)
-    assert(onePass.exists(_._3 < 1.0), "non-vacuous: borderline pairs present")
+    assert(verified == oracle)
+    assert(verified.nonEmpty)
+    assert(verified.exists(_._3 < 1.0), "non-vacuous: borderline pairs present")
   }
 
   test("simhash near pairs equal the brute-force hamming closure") {
