@@ -100,6 +100,23 @@ object SparkEntry {
       th
     }
 
+  private val neardupPairsCache =
+    new graft.util.SessionMemo[(SparkSession, String), DataFrame](_._1)(noDiscard)
+
+  /** Verified near-dup pairs (a, b) for an sf dir, computed ONCE per
+    * (session, dir) and persisted — the curation-session shape: the group
+    * listing (doc_neardup_groups), the curated corpus (doc_neardup_keep)
+    * and Verify's neardup_pairs base dump all consume the same
+    * LSH+verify run; the pair table itself is tiny (verified survivors).
+    */
+  def neardupPairsFor(spark: SparkSession, dir: String): DataFrame =
+    neardupPairsCache.getOrBuild((spark, dir)) {
+      val p = graft.ops.Dedup.nearDupPairs(t(spark, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+
   private val ivfCache =
     new graft.util.SessionMemo[(SparkSession, String), (DataFrame, DataFrame)](_._1)(noDiscard)
 
@@ -316,8 +333,22 @@ object SparkEntry {
     }),
 
     "doc_neardup_groups" -> ((s, d) =>
-      graft.ops.Dedup.nearDupGroups(t(s, d, "documents"))
+      graft.ops.Dedup.groupsFromPairs(neardupPairsFor(s, d))
         .select(col("component"), col("n_members"))),
+
+    // the curation deliverable: corpus minus near-dup redundancy (min
+    // doc_id kept per component); oracle re-derives the component drop
+    // set from the neardup_pairs base via the same recursive CTE; the
+    // pair table is the per-session memo both near-dup queries share
+    "doc_neardup_keep" -> ((s, d) =>
+      graft.ops.Dedup.keepFromPairs(t(s, d, "documents"), neardupPairsFor(s, d))),
+
+    // benchmark decontamination: docs sharing a 13-gram with the probe
+    // subset (deterministic doc_id % 97 stand-in for a held-out eval set)
+    "doc_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.contaminationHits(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
 
     // ---- similarity search over embeddings (rows-only: float scores) --
     "ann_brute_topk" -> ((s, d) => {
@@ -608,6 +639,28 @@ object SparkEntry {
         |comp AS (SELECT src AS member, least(src, min(dst)) AS component
         |         FROM reach GROUP BY src)
         |SELECT component, count(*) AS n_members FROM comp GROUP BY component""".stripMargin,
+    "doc_neardup_keep" ->
+      """WITH RECURSIVE
+        |base AS (SELECT a, b FROM read_parquet('{OUT}/_base/neardup_pairs/*.parquet')),
+        |edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |comp AS (SELECT src AS member, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+12], ' ') for i in range(1, len(t) - 11)]) AS gram
+        |  FROM toks WHERE len(t) >= 13),
+        |probes AS (SELECT doc_id AS probe_id, gram FROM grams WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+        |FROM grams g JOIN probes p ON p.gram = g.gram AND p.probe_id <> g.doc_id
+        |GROUP BY g.doc_id""".stripMargin,
     "media_frame_plan" ->
       """SELECT doc_id, unnest(range(0, frames, 30)) AS frame_idx
         |FROM read_parquet('{OUT}/_base/media_meta/*.parquet')

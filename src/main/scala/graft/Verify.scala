@@ -80,7 +80,7 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/shingles")
     SparkEntry.ngramCandPairs(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/jaccard_cand")
-    graft.ops.Dedup.nearDupPairs(docs)
+    SparkEntry.neardupPairsFor(spark, sfDir) // same memo the queries share
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_base/neardup_pairs")
     graft.ops.Multimodal.extractMeta(graft.ops.Multimodal.mediaTable(docs)).toDF()
       .select(col("doc_id"), col("kind"), col("frames"))

@@ -174,18 +174,49 @@ object Dedup {
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
   }
 
+  /** The corpus-curation deliverable: the documents table MINUS near-dup
+    * redundancy — one representative (the min doc_id) kept per connected
+    * near-dup component, every other member dropped, all non-duplicated
+    * docs kept. Returns the kept doc_ids.
+    *
+    * Scale shape: the drop set is |dup members| − |components| rows —
+    * tiny relative to the corpus — so the anti-join broadcasts it and
+    * the corpus streams map-side; no corpus-sized shuffle beyond what
+    * [[nearDupPairs]] already does over banded candidates.
+    */
+  def nearDupKeep(docs: DataFrame, shingleN: Int = 3,
+                  minJaccard: Double = 0.5): DataFrame =
+    keepFromPairs(docs, nearDupPairs(docs, shingleN, minJaccard))
+
+  /** The curation tail over an already-computed verified-pair set — split
+    * out so a session computing BOTH the group listing and the curated
+    * corpus (SparkEntry memoizes the pair table per session) runs the
+    * LSH+verify pipeline once, not once per consumer.
+    */
+  def keepFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponentsAuto(pairs)
+      .filter(col("member") =!= col("component")) // component = min member id
+      .select(col("member"))
+    docs.join(drops, docs("doc_id").cast("long") === drops("member"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** Full near-dup pipeline: LSH candidates → Jaccard verify →
     * connected components → groups with sizes + bounded member sample.
     */
   def nearDupGroups(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.5,
-                    sampleK: Int = 10): DataFrame = {
-    val verified = nearDupPairs(docs, shingleN, minJaccard)
+                    sampleK: Int = 10): DataFrame =
+    groupsFromPairs(nearDupPairs(docs, shingleN, minJaccard), sampleK)
+
+  /** The group-listing tail over an already-computed verified-pair set
+    * (see [[keepFromPairs]]).
+    */
+  def groupsFromPairs(pairs: DataFrame, sampleK: Int = 10): DataFrame =
     // hybrid CC: driver union-find for small candidate graphs,
     // distributed star above the threshold
-    connectedComponentsAuto(verified)
+    connectedComponentsAuto(pairs)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"),
         slice(sort_array(collect_list(col("member"))), 1, sampleK).as("members"))
       .filter(col("n_members") >= 2)
-  }
 }

@@ -87,6 +87,39 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Benchmark decontamination: which docs share at least one word
+    * n-gram with a PROBE set (held-out benchmark / eval texts) — the
+    * standard pre-training hygiene pass (n=13 is the common window).
+    * Returns (doc_id, n_hits = distinct contaminated grams), self-hits
+    * (probe doc matching itself) excluded.
+    *
+    * Pure Column expressions end-to-end: tokens → 1-based sliding
+    * n-grams via transform(sequence(...)) — identical semantics to the
+    * DuckDB list-comprehension oracle. Scale shape: the probe gram set
+    * is benchmark-sized (thousands of docs), corpus-size-independent —
+    * AQE broadcasts it, so the corpus grams stream map-side through the
+    * join with NO corpus-sized shuffle; the only shuffle is the final
+    * per-doc count over the (tiny) hit set. Grams are matched as raw
+    * strings here for oracle-comparability; a production variant would
+    * hash them (xxhash64) to shrink the broadcast — same plan shape.
+    */
+  def contaminationHits(docs: DataFrame, probes: DataFrame,
+                        n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame = {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      df.select(col("doc_id").as(idAs), toks.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(idAs), explode(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => array_join(slice(col("toks"), i, lit(n)), " "))).as("gram"))
+    }
+    val dg = grams(docs, "doc_id")
+    val pg = grams(probes, "probe_id")
+    dg.join(pg, dg("gram") === pg("gram") && dg("doc_id") =!= pg("probe_id"))
+      .groupBy(dg("doc_id"))
+      .agg(countDistinct(dg("gram")).as("n_hits"))
+  }
+
   /** Deterministic reproducible sampling: keep a row iff the first two
     * hex digits of md5(key) fall below the threshold — identical
     * selection in any engine with md5 (no RNG, no seed drift, stable

@@ -95,4 +95,18 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.length == 1)
     assert(groups.head._3.toSet == Set(1L, 2L, 3L))
   }
+
+  test("nearDupKeep keeps the min doc_id per component and every non-dup doc") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    val docs = Seq(
+      (7L, base), (2L, base + " extra"), (3L, "prefix " + base), // component min = 2
+      (10L, "completely different words about quantum telescopes and asteroids"),
+      (11L, "another unrelated piece of text mentioning markets and budgets")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDupKeep(docs, minJaccard = 0.3)
+      .as[Long].collect().toSet
+    // 7 and 3 drop (component min is 2); unrelated docs untouched
+    assert(kept == Set(2L, 10L, 11L))
+  }
 }

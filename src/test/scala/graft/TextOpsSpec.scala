@@ -47,4 +47,42 @@ class TextOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("contaminationHits: 13-gram overlap vs probes, self-hits excluded, brute-force checked") {
+    import spark.implicits._
+    val w = (0 until 40).map(i => s"tok$i") // 40 shared tokens
+    val probeText = w.mkString(" ")
+    val rows = Seq(
+      (0L, probeText),                               // probe (0 % 97 == 0)
+      (1L, probeText),                               // full copy: all grams hit
+      (2L, w.drop(20).mkString(" ") + " tail xyz"),  // 20-token suffix overlap → 8 grams
+      (3L, w.take(12).mkString(" ")),                // < 13 tokens: no grams at all
+      (4L, (0 until 40).map(i => s"other$i").mkString(" ")), // disjoint vocabulary
+      (5L, probeText.toUpperCase)                    // case-folded: still hits
+    )
+    val docs = rows.toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" % 97 === 0)
+    val got = TextOps.contaminationHits(docs, probes, n = 13)
+      .as[(Long, Long)].collect().toMap
+    // brute-force reference on the driver
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.length < 13) Set.empty
+      else toks.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val probeGrams = grams(probeText)
+    val expect = rows.collect { case (id, t) if id != 0L =>
+      id -> (grams(t) & probeGrams).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got(1L) == 28L && got(2L) == 8L && got(5L) == 28L)
+    assert(!got.contains(0L), "probe's self-hits excluded")
+    assert(!got.contains(3L) && !got.contains(4L))
+    // scale shape: the benchmark-sized probe side broadcasts — the corpus
+    // gram stream must not shuffle for the join
+    val contaminated = TextOps.contaminationHits(docs, probes, n = 13)
+    contaminated.collect()
+    assert(contaminated.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
 }
