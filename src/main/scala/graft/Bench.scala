@@ -482,19 +482,36 @@ object FuzzyProfile {
 }
 
 /** Targeted per-query timing against SPARK_GRAFT_SF_DIR — the hotspot
-  * drill-down the full Bench sweep is too coarse for. Each repeat runs in
-  * a fresh `newSession()` (same cold-cache protocol as a Bench sweep) and
-  * prints every query's seconds; the noise tell (extraction docs/s, same
-  * cached parquet as Bench) brackets the repeats so a loaded host reads
-  * as a depressed tell, not a regression.
+  * drill-down the full Bench sweep is too coarse for. Each QUERY of each
+  * repeat runs in its own fresh `newSession()`, so every timing is the
+  * query's STANDALONE cost — session-memoized builds (extraction /
+  * classification / near-dup pairs / IVF) are charged to every query
+  * that needs them, never silently migrated to whichever listed query
+  * happened to run first (a Bench sweep deliberately shares one session
+  * per sweep; this tool deliberately does not). The noise tell
+  * (extraction docs/s, same cached parquet as Bench) brackets the
+  * repeats so a loaded host reads as a depressed tell, not a regression.
+  *
+  * Usage: `QueryProfile [repeats] <query> [query...]` — a non-numeric
+  * first arg is taken as a query name with the default 3 repeats.
   *
   * {{{ SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 sbt "runMain graft.QueryProfile 3 doc_neardup_groups ext_threads_fuzzy" }}}
   */
 object QueryProfile {
   def main(args: Array[String]): Unit = {
-    val repeats = if (args.nonEmpty) args(0).toInt else 3
-    val names = if (args.length > 1) args.drop(1).toSeq
-                else Seq("doc_neardup_groups")
+    val (repeats, names) = args.toSeq match {
+      case Seq() => (3, Seq("doc_neardup_groups"))
+      case head +: rest if head.forall(_.isDigit) && head.nonEmpty =>
+        (head.toInt, if (rest.nonEmpty) rest else Seq("doc_neardup_groups"))
+      case all => (3, all)
+    }
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown quer${if (unknown.size > 1) "ies" else "y"}: ${unknown.mkString(", ")}\n" +
+          s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Bench.session(cpus)
@@ -505,14 +522,15 @@ object QueryProfile {
     Bench.timeExtractParquetExpr(spark, pq) // warmup
     (1 to repeats).foreach { r =>
       val tell = nDocs / Bench.timeExtractParquetExpr(spark, pq)._2
-      val sess = spark.newSession()
       val ts = names.map { name =>
+        val sess = spark.newSession() // per-query: standalone cost, order-independent
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val n = fn(sess, sfDir).count()
-        f"$name=${(System.nanoTime() - t0) / 1e9}%.3f (rows=$n)"
+        val sec = (System.nanoTime() - t0) / 1e9
+        sess.catalog.clearCache()
+        f"$name=$sec%.3f (rows=$n)"
       }
-      sess.catalog.clearCache()
       println(f"repeat $r tell=${tell.round} ${ts.mkString("  ")}")
     }
     spark.stop()

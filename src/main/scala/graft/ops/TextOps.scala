@@ -67,8 +67,17 @@ object TextOps {
     md5(regexp_replace(lower(text), "\\s+", " "))
 
   /** Token document-frequency table (corpus vocabulary statistics): one
-    * shuffle on token (uniform key), count-distinct per token. The
-    * standard first stage of tf-idf / vocab pruning for training data.
+    * map-side-combinable shuffle on token (uniform key). The standard
+    * first stage of tf-idf / vocab pruning for training data.
+    *
+    * PRECONDITION: `doc_id` must be unique in `docs` — the documents
+    * TABLE contract (it is the key). df is computed as a plain count
+    * because each (doc_id, token) provably survives the explode exactly
+    * once under that contract; a caller unioning corpora with repeated
+    * doc_ids would get row counts, not document counts. The safety net
+    * is real: the doc_token_df DuckDB oracle keeps count(DISTINCT
+    * doc_id), so a uniqueness violation in driver data turns the query
+    * red instead of passing silently.
     */
   def tokenDocFreq(docs: DataFrame, minDf: Long = 2): DataFrame =
     docs
@@ -96,12 +105,16 @@ object TextOps {
     * Pure Column expressions end-to-end: tokens → 1-based sliding
     * n-grams via transform(sequence(...)) — identical semantics to the
     * DuckDB list-comprehension oracle. Scale shape: the probe gram set
-    * is benchmark-sized (thousands of docs), corpus-size-independent —
-    * AQE broadcasts it, so the corpus grams stream map-side through the
-    * join with NO corpus-sized shuffle; the only shuffle is the final
-    * per-doc count over the (tiny) hit set. Grams are matched as raw
-    * strings here for oracle-comparability; a production variant would
-    * hash them (xxhash64) to shrink the broadcast — same plan shape.
+    * is benchmark-sized (thousands of docs) and corpus-size-independent
+    * — an EXPLICIT broadcast hint pins it to the build side (estimated
+    * stats on an exploded gram stream can exceed
+    * autoBroadcastJoinThreshold, which would silently degrade to a
+    * corpus-gram sort-merge shuffle), so the corpus grams stream
+    * map-side through the join with NO corpus-sized shuffle; the only
+    * shuffle is the final per-doc count over the (tiny) hit set. Grams
+    * are matched as raw strings here for oracle-comparability; a
+    * production variant would hash them (xxhash64) to shrink the
+    * broadcast — same plan shape.
     */
   def contaminationHits(docs: DataFrame, probes: DataFrame,
                         n: Int = 13): DataFrame = {
@@ -114,7 +127,7 @@ object TextOps {
           i => array_join(slice(col("toks"), i, lit(n)), " "))).as("gram"))
     }
     val dg = grams(docs, "doc_id")
-    val pg = grams(probes, "probe_id")
+    val pg = broadcast(grams(probes, "probe_id"))
     dg.join(pg, dg("gram") === pg("gram") && dg("doc_id") =!= pg("probe_id"))
       .groupBy(dg("doc_id"))
       .agg(countDistinct(dg("gram")).as("n_hits"))
