@@ -350,6 +350,10 @@ object SparkEntry {
       TextOps.contaminationHits(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
+    // per-source quota (the per-domain cap of web-corpus curation)
+    "doc_source_cap" -> ((s, d) =>
+      TextOps.sourceCap(t(s, d, "documents"), k = 10)),
+
     // ---- similarity search over embeddings (rows-only: float scores) --
     "ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -661,6 +665,12 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
         |FROM grams g JOIN probes p ON p.gram = g.gram AND p.probe_id <> g.doc_id
         |GROUP BY g.doc_id""".stripMargin,
+    "doc_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
     "media_frame_plan" ->
       """SELECT doc_id, unnest(range(0, frames, 30)) AS frame_idx
         |FROM read_parquet('{OUT}/_base/media_meta/*.parquet')

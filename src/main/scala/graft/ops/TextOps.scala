@@ -133,6 +133,26 @@ object TextOps {
       .agg(countDistinct(dg("gram")).as("n_hits"))
   }
 
+  /** Per-source quota capping (the per-domain cap of web-corpus curation:
+    * no single site may dominate the training mix): keep the k smallest
+    * doc_ids per source. Deterministic (doc_id unique ⇒ total order
+    * within a source).
+    *
+    * Scale shape: rank-≤-k over a window optimizes to WindowGroupLimit
+    * (spec-pinned) — Spark inserts a PARTIAL group-limit before the
+    * shuffle, so a hot domain with 10^9 docs ships at most k rows per
+    * map partition instead of all of them; per-group state is O(k)
+    * either side of the exchange.
+    */
+  def sourceCap(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Deterministic reproducible sampling: keep a row iff the first two
     * hex digits of md5(key) fall below the threshold — identical
     * selection in any engine with md5 (no RNG, no seed drift, stable

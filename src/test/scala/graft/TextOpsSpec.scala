@@ -85,4 +85,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(contaminated.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
   }
+
+  test("sourceCap: k smallest doc_ids per source, WindowGroupLimit in the plan") {
+    import spark.implicits._
+    // a hot source (40 docs), a small source (2), an exactly-k source (3)
+    val docs = ((0L until 40L).map(i => (i, s"text $i", "hot")) ++
+      Seq((100L, "a", "small"), (101L, "b", "small"),
+        (200L, "x", "exact"), (201L, "y", "exact"), (202L, "z", "exact")))
+      .toDF("doc_id", "text", "source")
+    val capped = TextOps.sourceCap(docs, k = 3)
+    val got = capped.as[(Long, String)].collect().toSet
+    val expect = (0L until 3L).map((_, "hot")).toSet ++
+      Set((100L, "small"), (101L, "small"),
+        (200L, "exact"), (201L, "exact"), (202L, "exact"))
+    assert(got == expect)
+    // the rank filter must optimize to a group limit (partial map-side
+    // prune before the shuffle — the hot-domain skew defense)
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"), capped.queryExecution.executedPlan.toString)
+  }
 }
