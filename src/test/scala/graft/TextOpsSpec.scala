@@ -3,9 +3,10 @@ package graft
 import graft.ops.TextOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-class TextOpsSpec extends AnyFunSuite {
+class TextOpsSpec extends AnyFunSuite with GenChecks {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -103,5 +104,53 @@ class TextOpsSpec extends AnyFunSuite {
     // prune before the shuffle — the hot-domain skew defense)
     assert(capped.queryExecution.executedPlan.toString
       .contains("WindowGroupLimit"), capped.queryExecution.executedPlan.toString)
+  }
+
+  test("property: contaminationHits and sourceCap match brute force on random corpora") {
+    import spark.implicits._
+    // random corpora from a SMALL shared vocabulary so cross-doc 13-gram
+    // collisions actually occur, doc lengths straddling the n=13 boundary
+    // (0..30 tokens), multi-space/case noise
+    val tokG = Gen.oneOf((0 until 6).map(i => s"w$i"))
+    val docG = for {
+      len <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(len, tokG)
+      upper <- Gen.oneOf(true, false)
+      sep <- Gen.oneOf(" ", "  ")
+    } yield {
+      val s = toks.mkString(sep)
+      if (upper) s.toUpperCase else s
+    }
+    val corpusG = Gen.choose(5, 25).flatMap(n => Gen.listOfN(n, docG))
+    samples(corpusG, 8).zipWithIndex.foreach { case (texts, ci) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = rows.toDF("doc_id", "text")
+      val probes = docs.filter($"doc_id" % 3 === 0)
+      def grams(t: String): Set[String] = {
+        val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        // mirror the op: split on \s+ AFTER trim keeps no empties for
+        // these inputs (sep is spaces only)
+        if (toks.length < 13) Set.empty
+        else toks.sliding(13).map(_.mkString(" ")).toSet
+      }
+      val probeGramsByDoc = rows.filter(_._1 % 3 == 0)
+        .map { case (id, t) => id -> grams(t) }
+      val expect = rows.map { case (id, t) =>
+        val hits = grams(t).filter(g =>
+          probeGramsByDoc.exists { case (pid, pg) => pid != id && pg.contains(g) })
+        id -> hits.size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = TextOps.contaminationHits(docs, probes, n = 13)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"corpus $ci: got $got expect $expect\n$rows")
+      // sourceCap vs brute force on a skewed random source assignment
+      val withSrc = rows.map { case (id, t) => (id, t, s"s${id % 3 % 2}") }
+        .toDF("doc_id", "text", "source")
+      val k = 2
+      val capExpect = rows.map(_._1).groupBy(id => s"s${id % 3 % 2}")
+        .flatMap { case (src, ids) => ids.sorted.take(k).map(id => (id, src)) }.toSet
+      val capGot = TextOps.sourceCap(withSrc, k).as[(Long, String)].collect().toSet
+      assert(capGot == capExpect, s"corpus $ci sourceCap")
+    }
   }
 }
