@@ -197,13 +197,21 @@ object Sketches {
   def minhashCandidatePairs(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
                             rowsPerBand: Int = 4,
                             sizeRatioMinJaccard: Double = 0.0): DataFrame = {
+    // WINDOW-anchor form in both branches (late r7, measured): the
+    // per-bucket anchor and member count attach via one window over
+    // (band, bkey) — one exchange + one sort vs the previous groupBy +
+    // join-back (two exchanges + SMJ sorts). Interleaved A/B at sf1,
+    // end-to-end through nearDupGroups: agg+join 5.17-5.84 s vs window
+    // 4.20-4.73 s, identical 4,756 groups. The buffered window group is
+    // (band, bkey, doc_id[, cnt]) rows — a few bytes each, spill-safe
+    // even for mega buckets.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bkey"))
     if (sizeRatioMinJaccard <= 0.0) {
-      val banded = minhashBanded(docs, shingleN, bands, rowsPerBand)
-      val anchors = banded.groupBy(col("band"), col("bkey"))
-        .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-      banded.join(anchors, Seq("band", "bkey"))
-        .filter(col("doc_id") =!= col("anchor"))
+      minhashBanded(docs, shingleN, bands, rowsPerBand)
+        .withColumn("anchor", min(col("doc_id")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") >= 2 && col("doc_id") =!= col("anchor"))
         .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
         .distinct()
     } else {
@@ -212,20 +220,14 @@ object Sketches {
       // (doc_id is unique within a bucket), so the anchor choice is
       // IDENTICAL to the plain path — only provably-unverifiable pairs
       // are dropped, before the distinct so the dedup shuffle shrinks too
-      val banded = bandRows(
-        minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand),
-        bands, rowsPerBand, Seq("cnt"))
-      val anchors = banded.groupBy(col("band"), col("bkey"))
-        .agg(min(struct(col("doc_id"), col("cnt"))).as("a"),
-          count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-        .select(col("band"), col("bkey"),
-          col("a.doc_id").as("anchor"), col("a.cnt").as("anchor_cnt"))
-      banded.join(anchors, Seq("band", "bkey"))
-        .filter(col("doc_id") =!= col("anchor"))
-        .filter(least(col("cnt"), col("anchor_cnt")).cast("double") /
-          greatest(col("cnt"), col("anchor_cnt")) >= sizeRatioMinJaccard)
-        .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+      bandRows(minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand),
+          bands, rowsPerBand, Seq("cnt"))
+        .withColumn("a", min(struct(col("doc_id"), col("cnt"))).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") >= 2 && col("doc_id") =!= col("a.doc_id"))
+        .filter(least(col("cnt"), col("a.cnt")).cast("double") /
+          greatest(col("cnt"), col("a.cnt")) >= sizeRatioMinJaccard)
+        .select(col("a.doc_id").as("doc_id_a"), col("doc_id").as("doc_id_b"))
         .distinct()
     }
   }
