@@ -399,13 +399,18 @@ object Similarity {
   def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,
                      bands: Int = 4, bitsPerBand: Int = 8,
                      seed: Long = 42L): DataFrame = {
+    // window-anchor form (late r7, same rewrite as the minhash candidate
+    // stages, see Sketches.minhashCandidatePairs): anchor + member count
+    // attach via ONE window over (band, sig) — one exchange + sort vs
+    // the groupBy + join-back's two exchanges + SMJ sorts; buffered rows
+    // are (band, sig, vec_id) — a few bytes, spill-safe for mega buckets
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("sig"))
     val emb = corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val banded = signBanded(spark, corpus, bands, bitsPerBand, seed)
-    val anchors = banded.groupBy(col("band"), col("sig"))
-      .agg(min(col("vec_id")).as("anchor"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-    val cand = banded.join(anchors, Seq("band", "sig"))
-      .filter(col("vec_id") =!= col("anchor"))
+    val cand = signBanded(spark, corpus, bands, bitsPerBand, seed)
+      .withColumn("anchor", min(col("vec_id")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 2 && col("vec_id") =!= col("anchor"))
       .select(col("anchor").as("id_a"), col("vec_id").as("id_b"))
       .distinct()
     cand
