@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators for large-scale training-data
   * pipelines, over a `documents(doc_id, text, lang, source, n_chars)`
-  * table. All ops here are pure Column expressions (whole-stage codegen,
-  * no UDFs) and DuckDB-oracle-checkable; the sketch-based dedup family
-  * (minhash/simhash/jaccard) lives in [[Sketches]] as typed kernels.
+  * table. Ops here are pure Column expressions (whole-stage codegen, no
+  * UDFs) and DuckDB-oracle-checkable — except the n-gram builder inside
+  * [[contaminationHits]], a typed kernel for the same reason the
+  * sketch-based dedup family (minhash/simhash/jaccard) lives in
+  * [[Sketches]] as typed kernels: per-token hot loops beat interpreted
+  * lambda / re-evaluated expressions by integer factors.
   *
   * Scale notes per op are in the Scaladoc — the design constraint is
   * 100 TB / 10^12 rows, so: map-side-combinable aggregations only,
@@ -102,9 +105,11 @@ object TextOps {
     * Returns (doc_id, n_hits = distinct contaminated grams), self-hits
     * (probe doc matching itself) excluded.
     *
-    * Pure Column expressions end-to-end: tokens → 1-based sliding
-    * n-grams via transform(sequence(...)) — identical semantics to the
-    * DuckDB list-comprehension oracle. Scale shape: the probe gram set
+    * Gram generation is a typed kernel (tokenize once per doc — see the
+    * comment inside; the Column formulations re-tokenized per gram);
+    * everything downstream is Column expressions, with semantics
+    * identical to the DuckDB list-comprehension oracle. Scale shape:
+    * the probe gram set
     * is benchmark-sized (thousands of docs) and corpus-size-independent
     * — an EXPLICIT broadcast hint pins it to the build side (estimated
     * stats on an exploded gram stream can exceed
@@ -118,13 +123,32 @@ object TextOps {
     */
   def contaminationHits(docs: DataFrame, probes: DataFrame,
                         n: Int = 13): DataFrame = {
+    // (doc_id, gram) via a typed kernel: tokenize ONCE per doc, emit the
+    // sliding windows in a plain JVM loop. Both Column formulations were
+    // measured ~7 s at sf1 and rejected: transform(sequence, i => ...)
+    // puts the gram build inside a HigherOrderFunction lambda (evaluated
+    // interpreted per element, the r7 zip_with-cosine trap), and the
+    // explode-positions + slice/array_join form lets CollapseProject
+    // inline `split(text)` into the post-explode projection — the doc is
+    // re-tokenized once PER GRAM (~38×) either way. The kernel matches
+    // the Column/DuckDB semantics exactly: lower → trim → split \s+
+    // (trim-first means no empty tokens; <n tokens ⇒ no grams; null
+    // text ⇒ no rows).
     def grams(df: DataFrame, idAs: String): DataFrame = {
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      df.select(col("doc_id").as(idAs), toks.as("toks"))
-        .filter(size(col("toks")) >= n)
-        .select(col(idAs), explode(transform(
-          sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => array_join(slice(col("toks"), i, lit(n)), " "))).as("gram"))
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = text.toLowerCase.trim.split("\\s+")
+            if (toks.length < n) Iterator.empty
+            else (0 to toks.length - n).iterator
+              .map(i => (id, toks.slice(i, i + n).mkString(" ")))
+          }
+        })
+        .toDF(idAs, "gram")
     }
     val dg = grams(docs, "doc_id")
     val pg = broadcast(grams(probes, "probe_id"))
