@@ -136,11 +136,14 @@ object Sketches {
     */
   def minhashDupGroups(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
                        rowsPerBand: Int = 4, sampleK: Int = 5): DataFrame =
-    minhashBanded(docs, shingleN, bands, rowsPerBand)
-      .groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n"),
-        slice(sort_array(collect_set(col("doc_id"))), 1, sampleK).as("doc_ids"))
-      .filter(col("n") >= 2 && size(col("doc_ids")) >= 2)
+    // bounded-state group listing (see Dedup.boundedGroups): a mega
+    // bucket of templated docs must not materialize its full membership
+    // in one collect_set buffer
+    Dedup.boundedGroups(
+        minhashBanded(docs, shingleN, bands, rowsPerBand),
+        Seq("band", "bkey"), "doc_id", sampleK)
+      .filter(size(col("doc_ids")) >= 2)
+      .select(col("band"), col("bkey"), col("n"), col("doc_ids"))
 
   /** (doc_id, sig, cnt) signatures + DISTINCT-shingle counts — the
     * cnt-carrying twin of [[minhashSignatures]] (kept separate so the
@@ -316,14 +319,12 @@ object Sketches {
       .toDF("doc_id", "sh")
   }
 
-  /** SimHash near-dup groups, kernel-backed. */
-  def simhashDupGroups(docs: DataFrame, sampleK: Int = 5): DataFrame = {
-    simhashTable(docs)
-      .groupBy(col("sh"))
-      .agg(count(lit(1)).as("n"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, sampleK).as("doc_ids"))
-      .filter(col("n") >= 2)
-  }
+  /** SimHash near-dup groups, kernel-backed (bounded-state listing —
+    * see [[Dedup.boundedGroups]]).
+    */
+  def simhashDupGroups(docs: DataFrame, sampleK: Int = 5): DataFrame =
+    Dedup.boundedGroups(simhashTable(docs), Seq("sh"), "doc_id", sampleK)
+      .select(col("sh"), col("n"), col("doc_ids"))
 
   /** Banded simhash near-dup PAIRS with hamming ≤ maxHamming: the 64-bit
     * simhash splits into `bands` equal bands; by pigeonhole, two hashes

@@ -212,11 +212,12 @@ object TextOps {
     * 128-bit key, uniform by construction — no skew handling needed).
     */
   def exactDupGroups(docs: DataFrame, sampleK: Int = 5): DataFrame =
-    docs
-      .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(
-        count(lit(1)).as("n_dups"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, sampleK).as("doc_ids"))
-      .filter(col("n_dups") >= 2)
+    // bounded-state listing (see Dedup.boundedGroups): a fingerprint
+    // repeated 10^6 times must not materialize all its doc_ids in one
+    // aggregation buffer
+    Dedup.boundedGroups(
+        docs.select(fingerprint(col("text")).as("fp"), col("doc_id")),
+        Seq("fp"), "doc_id", sampleK, nAs = "n_dups")
+      .select(col("fp"), col("n_dups"), col("doc_ids"))
 
 }

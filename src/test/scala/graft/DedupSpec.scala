@@ -96,6 +96,35 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.head._3.toSet == Set(1L, 2L, 3L))
   }
 
+  test("boundedGroups ≡ one-agg collect form, with map-side group-limit in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial: ONE mega group (5k members) + small groups + singletons
+    val rows = ((0 until 5000).map(i => ("mega", i.toLong)) ++
+      (0 until 7).map(i => ("small", (100000 + i).toLong)) ++
+      Seq(("single", 999999L)))
+      .toDF("k", "doc_id")
+    val bounded = Dedup.boundedGroups(rows, Seq("k"), "doc_id", sampleK = 5)
+    val got = bounded.select($"k", $"n", $"doc_ids")
+      .as[(String, Long, Seq[Long])].collect().map { case (k, n, ids) => k -> ((n, ids)) }.toMap
+    val oneAgg = rows.groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_set($"doc_id")), 1, 5).as("doc_ids"))
+      .filter($"n" >= 2)
+      .as[(String, Long, Seq[Long])].collect().map { case (k, n, ids) => k -> ((n, ids)) }.toMap
+    assert(got == oneAgg)
+    assert(got("mega") == ((5000L, Seq(0L, 1L, 2L, 3L, 4L))))
+    assert(got("small")._1 == 7L)
+    assert(!got.contains("single"))
+    // the scale guarantee, pinned in the executed plan: ONE aggregation
+    // (no second exchange, no join), with the min_k partial below the
+    // exchange — O(K) state and wire per group per task
+    bounded.collect()
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_k") || plan.contains("partial_minklongs"), plan)
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Join"), plan)
+  }
+
   test("nearDupKeep keeps the min doc_id per component and every non-dup doc") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again in the park"
