@@ -116,9 +116,129 @@ case class MinKLongs(
     copy(child = newChildren.head)
 }
 
+/** Bounded k-smallest accumulator for strings (binary UTF8 order — the
+  * same ordering sort_array applies to StringType, so the sampled ids
+  * are identical to the collect form's). Stores CLONES: the eval'd
+  * UTF8String may be backed by reused row memory.
+  */
+final class MinKStrBuffer(val k: Int) {
+  val heap = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+  var size: Int = 0
+
+  def insert(v0: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    if (size < k) {
+      heap(size) = v0.clone()
+      size += 1
+      var i = size - 1
+      while (i > 0 && heap((i - 1) / 2).compareTo(heap(i)) < 0) {
+        val p = (i - 1) / 2
+        val t = heap(p); heap(p) = heap(i); heap(i) = t
+        i = p
+      }
+    } else if (k > 0 && v0.compareTo(heap(0)) < 0) {
+      heap(0) = v0.clone()
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && heap(l).compareTo(heap(m)) > 0) m = l
+        if (r < size && heap(r).compareTo(heap(m)) > 0) m = r
+        if (m == i) done = true
+        else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
+      }
+    }
+  }
+}
+
+/** String twin of [[MinKLongs]] — the threads pipeline's doc ids are
+  * strings (the reference keys articles by filename).
+  */
+case class MinKStrings(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MinKStrBuffer] with ExpectsInputTypes {
+
+  require(k > 0, s"min_k_str needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "min_k_str"
+
+  override def createAggregationBuffer(): MinKStrBuffer = new MinKStrBuffer(k)
+
+  override def update(b: MinKStrBuffer, input: org.apache.spark.sql.catalyst.InternalRow): MinKStrBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.insert(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    b
+  }
+
+  override def merge(b: MinKStrBuffer, o: MinKStrBuffer): MinKStrBuffer = {
+    var i = 0
+    while (i < o.size) { b.insert(o.heap(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: MinKStrBuffer): Any = {
+    val out = java.util.Arrays.copyOf(b.heap, b.size)
+    java.util.Arrays.sort(out,
+      (a: org.apache.spark.unsafe.types.UTF8String,
+       c: org.apache.spark.unsafe.types.UTF8String) => a.compareTo(c))
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def serialize(b: MinKStrBuffer): Array[Byte] = {
+    var total = 4
+    var i = 0
+    while (i < b.size) { total += 4 + b.heap(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(b.size)
+    i = 0
+    while (i < b.size) {
+      val bytes = b.heap(i).getBytes
+      bb.putInt(bytes.length); bb.put(bytes)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new MinKStrBuffer(k)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      b.insert(org.apache.spark.unsafe.types.UTF8String.fromBytes(arr))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinKStrings =
+    copy(child = newChildren.head)
+}
+
 object MinK {
   /** Column API: the k smallest values of `id` per group, sorted. */
   def min_k(id: Column, k: Int): Column =
     GraftColumnBridge.column(
       MinKLongs(GraftColumnBridge.expression(id), k).toAggregateExpression())
+
+  /** String-id twin (binary UTF8 order, identical to sort_array's). */
+  def min_k_str(id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinKStrings(GraftColumnBridge.expression(id), k).toAggregateExpression())
 }

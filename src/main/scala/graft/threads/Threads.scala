@@ -36,7 +36,11 @@ object Threads {
                                       extraMins: Seq[String]): DataFrame = {
     val p1 = Seq(
       count(lit(1)).as("c"),
-      slice(sort_array(collect_list(col("doc_id"))), 1, k).as("sample")) ++
+      // min_k: k smallest doc_ids with O(k) aggregation state (identical
+      // values to slice(sort_array(collect_list), 1, k) — doc_id unique).
+      // The salt bounds which TASK sees a hot key; min_k bounds the agg
+      // BUFFER itself, which the collect form grew to O(group/NSalt)
+      graft.functions.MinK.min_k_str(col("doc_id"), k).as("sample")) ++
       extraMins.map(c => min(col(c)).as(c))
     val phase1 = df
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(NSalt)))

@@ -125,6 +125,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("WindowGroupLimit") && !plan.contains("Join"), plan)
   }
 
+  test("min_k_str ≡ sorted-collect slice, including non-ASCII binary order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // binary UTF8 order ≠ locale order: "Z" < "a" < "é" < "ж"; plus a
+    // mega group to exercise heap replacement
+    val rows = ((0 until 3000).map(i => ("mega", f"doc$i%05d")) ++
+      Seq(("mix", "a"), ("mix", "Z"), ("mix", "é"), ("mix", "ж"), ("mix", "b")))
+      .toDF("k", "doc_id")
+    val got = rows.groupBy($"k")
+      .agg(graft.functions.MinK.min_k_str($"doc_id", 3).as("ids"))
+      .as[(String, Seq[String])].collect().toMap
+    val ref = rows.groupBy($"k")
+      .agg(slice(sort_array(collect_list($"doc_id")), 1, 3).as("ids"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got == ref)
+    assert(got("mix") == Seq("Z", "a", "b"))
+    assert(got("mega") == Seq("doc00000", "doc00001", "doc00002"))
+  }
+
   test("nearDupKeep keeps the min doc_id per component and every non-dup doc") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again in the park"
