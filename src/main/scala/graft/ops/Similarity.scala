@@ -399,19 +399,14 @@ object Similarity {
   def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,
                      bands: Int = 4, bitsPerBand: Int = 8,
                      seed: Long = 42L): DataFrame = {
-    // window-anchor form (late r7, same rewrite as the minhash candidate
-    // stages, see Sketches.minhashCandidatePairs): anchor + member count
-    // attach via ONE window over (band, sig) — one exchange + sort vs
-    // the groupBy + join-back's two exchanges + SMJ sorts; buffered rows
-    // are (band, sig, vec_id) — a few bytes, spill-safe for mega buckets
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("sig"))
+    // shared window-anchor helper (Sketches.anchorStarred — one exchange
+    // + sort vs the old groupBy + join-back; measurements + hot-bucket
+    // trade documented there)
     val emb = corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val cand = signBanded(spark, corpus, bands, bitsPerBand, seed)
-      .withColumn("anchor", min(col("vec_id")).over(w))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("n") >= 2 && col("vec_id") =!= col("anchor"))
-      .select(col("anchor").as("id_a"), col("vec_id").as("id_b"))
+    val cand = Sketches.anchorStarred(
+        signBanded(spark, corpus, bands, bitsPerBand, seed),
+        Seq("band", "sig"), "vec_id", struct(col("vec_id")))
+      .select(col("a.vec_id").as("id_a"), col("vec_id").as("id_b"))
       .distinct()
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch kernels (minhash / simhash) as ONE typed mapPartitions pass per
@@ -197,25 +197,40 @@ object Sketches {
     * exact filter would keep (SketchAccuracySpec pins equality). Pass
     * the verify stage's own minJaccard; 0.0 = off.
     */
+  /** Anchor-star bucket columns via ONE window (late r7, measured twice
+    * — shared by both [[minhashCandidatePairs]] branches,
+    * [[minhashVerifiedPairsInline]] and `Similarity.cosineDupPairs`):
+    * attaches `a` = min(anchorStruct) per `partCols` bucket (the
+    * min-id row — include the id FIRST in the struct plus any payload
+    * columns to ride along) and drops singleton buckets and each
+    * anchor's own row. One exchange + one sort, where the previous
+    * groupBy + join-back planned two exchanges and SMJ sorts on both
+    * sides — interleaved A/Bs: 1.06M titles 1.80-3.60 → 1.46-2.47 s
+    * (identical 192,178 pairs), sf1 documents end-to-end through
+    * nearDupGroups 5.17-5.84 → 4.20-4.73 s (identical 4,756 groups).
+    * Hot-bucket note: WindowExec buffers one bucket group at a time
+    * (spilling via UnsafeExternalSorter) where SMJ streamed it —
+    * acceptable: anchor-star output is O(bucket) there regardless, and
+    * the buffered rows are small (callers keep heavy columns out of
+    * `anchorStruct` payloads except the bounded title `sh` arrays).
+    */
+  private[graft] def anchorStarred(df: DataFrame, partCols: Seq[String],
+                                   idCol: String,
+                                   anchorStruct: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCols.map(col): _*)
+    df.withColumn("a", min(anchorStruct).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 2 && col(idCol) =!= col(s"a.$idCol"))
+  }
+
   def minhashCandidatePairs(docs: DataFrame, shingleN: Int = 3, bands: Int = 4,
                             rowsPerBand: Int = 4,
                             sizeRatioMinJaccard: Double = 0.0): DataFrame = {
-    // WINDOW-anchor form in both branches (late r7, measured): the
-    // per-bucket anchor and member count attach via one window over
-    // (band, bkey) — one exchange + one sort vs the previous groupBy +
-    // join-back (two exchanges + SMJ sorts). Interleaved A/B at sf1,
-    // end-to-end through nearDupGroups: agg+join 5.17-5.84 s vs window
-    // 4.20-4.73 s, identical 4,756 groups. The buffered window group is
-    // (band, bkey, doc_id[, cnt]) rows — a few bytes each, spill-safe
-    // even for mega buckets.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("bkey"))
     if (sizeRatioMinJaccard <= 0.0) {
-      minhashBanded(docs, shingleN, bands, rowsPerBand)
-        .withColumn("anchor", min(col("doc_id")).over(w))
-        .withColumn("n", count(lit(1)).over(w))
-        .filter(col("n") >= 2 && col("doc_id") =!= col("anchor"))
-        .select(col("anchor").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+      anchorStarred(minhashBanded(docs, shingleN, bands, rowsPerBand),
+          Seq("band", "bkey"), "doc_id", struct(col("doc_id")))
+        .select(col("a.doc_id").as("doc_id_a"), col("doc_id").as("doc_id_b"))
         .distinct()
     } else {
       // same banding projection (shared bandRows), with cnt riding along
@@ -223,11 +238,10 @@ object Sketches {
       // (doc_id is unique within a bucket), so the anchor choice is
       // IDENTICAL to the plain path — only provably-unverifiable pairs
       // are dropped, before the distinct so the dedup shuffle shrinks too
-      bandRows(minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand),
-          bands, rowsPerBand, Seq("cnt"))
-        .withColumn("a", min(struct(col("doc_id"), col("cnt"))).over(w))
-        .withColumn("n", count(lit(1)).over(w))
-        .filter(col("n") >= 2 && col("doc_id") =!= col("a.doc_id"))
+      anchorStarred(
+          bandRows(minhashSignaturesCnt(docs, shingleN, bands * rowsPerBand),
+            bands, rowsPerBand, Seq("cnt")),
+          Seq("band", "bkey"), "doc_id", struct(col("doc_id"), col("cnt")))
         .filter(least(col("cnt"), col("a.cnt")).cast("double") /
           greatest(col("cnt"), col("a.cnt")) >= sizeRatioMinJaccard)
         .select(col("a.doc_id").as("doc_id_a"), col("doc_id").as("doc_id_b"))
@@ -278,26 +292,12 @@ object Sketches {
   def minhashVerifiedPairsInline(docs: DataFrame, shingleN: Int, bands: Int,
                                  rowsPerBand: Int,
                                  minJaccard: Double): DataFrame = {
-    // WINDOW-anchor form (late r7, measured): the per-bucket anchor
-    // (min(struct(doc_id, sh))) and member count attach via ONE window
-    // over (band, bkey) — one exchange + one sort, where the previous
-    // groupBy + join-back planned two exchanges and SMJ sorts on both
-    // sides. Interleaved A/B at 1.06M titles: agg+join 1.80-3.60 s vs
-    // window 1.46-2.47 s, identical 192,178 pairs (SketchAccuracySpec
-    // pins pair-set identity vs the candidate+verify composition).
-    // Hot-bucket note: WindowExec buffers one (band, bkey) group at a
-    // time (spilling via UnsafeExternalSorter) where SMJ streamed it —
-    // acceptable: the anchor-star design already makes a mega bucket
-    // O(bucket) in OUTPUT, and the buffered group spills rather than
-    // failing.
-    import org.apache.spark.sql.expressions.Window
     val sigSh = sigShingleTable(docs, shingleN, bands * rowsPerBand)
     val banded = bandRows(sigSh, bands, rowsPerBand, Seq("sh"))
-    val w = Window.partitionBy(col("band"), col("bkey"))
-    banded
-      .withColumn("a", min(struct(col("doc_id"), col("sh"))).over(w))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("n") >= 2 && col("doc_id") =!= col("a.doc_id"))
+    // window anchor (see anchorStarred) carrying the bounded title
+    // shingle array as payload so the verify is join-free
+    anchorStarred(banded, Seq("band", "bkey"), "doc_id",
+        struct(col("doc_id"), col("sh")))
       .withColumn("jaccard",
         size(array_intersect(col("a.sh"), col("sh"))).cast("double") /
           size(array_union(col("a.sh"), col("sh"))))

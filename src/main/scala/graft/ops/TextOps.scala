@@ -134,19 +134,31 @@ object TextOps {
     // the Column/DuckDB semantics exactly: lower → trim → split \s+
     // (trim-first means no empty tokens; <n tokens ⇒ no grams; null
     // text ⇒ no rows).
+    // Semantics mirror trim → lower → split('\s+') as BOTH engines
+    // define them (r7 review finding): trim strips SPACES only (Java
+    // String.trim would also eat tabs/newlines, changing the token list
+    // vs the oracle — a tab-prefixed doc legitimately yields a leading
+    // empty token in both engines, and the gram strings containing it
+    // must match), lowercase is Locale.ROOT (default-locale toLowerCase
+    // is wrong on e.g. tr-TR JVMs where 'I' → 'ı'). NULL doc_id or text
+    // rows are dropped up front — exactly the rows the oracle's join can
+    // never emit (NULL comparisons are never true in SQL).
     def grams(df: DataFrame, idAs: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col("doc_id").cast("long"), col("text"))
+      df.filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
-          if (text == null) Iterator.empty
-          else {
-            val toks = text.toLowerCase.trim.split("\\s+")
-            if (toks.length < n) Iterator.empty
-            else (0 to toks.length - n).iterator
-              .map(i => (id, toks.slice(i, i + n).mkString(" ")))
-          }
+          var b = 0
+          var e = text.length
+          while (b < e && text.charAt(b) == ' ') b += 1
+          while (e > b && text.charAt(e - 1) == ' ') e -= 1
+          val toks = text.substring(b, e)
+            .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          if (toks.length < n) Iterator.empty
+          else (0 to toks.length - n).iterator
+            .map(i => (id, toks.slice(i, i + n).mkString(" ")))
         })
         .toDF(idAs, "gram")
     }

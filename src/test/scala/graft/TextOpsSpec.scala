@@ -59,15 +59,21 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       (2L, w.drop(20).mkString(" ") + " tail xyz"),  // 20-token suffix overlap → 8 grams
       (3L, w.take(12).mkString(" ")),                // < 13 tokens: no grams at all
       (4L, (0 until 40).map(i => s"other$i").mkString(" ")), // disjoint vocabulary
-      (5L, probeText.toUpperCase)                    // case-folded: still hits
+      (5L, probeText.toUpperCase),                   // case-folded: still hits
+      // tab-prefixed copy: trim strips SPACES only (both engines), so
+      // the tab survives and yields a leading EMPTY token — full-window
+      // grams still align from token 1 on (28 hits like the full copy)
+      (6L, "\t" + probeText)
     )
     val docs = rows.toDF("doc_id", "text")
     val probes = docs.filter($"doc_id" % 97 === 0)
     val got = TextOps.contaminationHits(docs, probes, n = 13)
       .as[(Long, Long)].collect().toMap
-    // brute-force reference on the driver
-    def grams(t: String): Set[String] = {
-      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+    // brute-force reference mirroring the kernel's exact semantics:
+    // space-only trim, Locale.ROOT lowercase, \s+ split with empties KEPT
+    def grams(t0: String): Set[String] = {
+      val t = t0.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
       if (toks.length < 13) Set.empty
       else toks.sliding(13).map(_.mkString(" ")).toSet
     }
@@ -76,7 +82,7 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       id -> (grams(t) & probeGrams).size.toLong
     }.filter(_._2 > 0).toMap
     assert(got == expect, s"got $got expect $expect")
-    assert(got(1L) == 28L && got(2L) == 8L && got(5L) == 28L)
+    assert(got(1L) == 28L && got(2L) == 8L && got(5L) == 28L && got(6L) == 28L)
     assert(!got.contains(0L), "probe's self-hits excluded")
     assert(!got.contains(3L) && !got.contains(4L))
     // scale shape: the benchmark-sized probe side broadcasts — the corpus
@@ -126,10 +132,11 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val docs = rows.toDF("doc_id", "text")
       val probes = docs.filter($"doc_id" % 3 === 0)
-      def grams(t: String): Set[String] = {
-        val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
-        // mirror the op: split on \s+ AFTER trim keeps no empties for
-        // these inputs (sep is spaces only)
+      def grams(t0: String): Set[String] = {
+        // mirror the kernel exactly: space-only trim, ROOT lowercase,
+        // \s+ split with empties kept (vacuous for space-separated input)
+        val t = t0.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
         if (toks.length < 13) Set.empty
         else toks.sliding(13).map(_.mkString(" ")).toSet
       }
