@@ -85,7 +85,7 @@ object Glossary {
     "Hentai 2+2=4", "Door To Door")
 
   def keepGameName(name: String): Boolean = {
-    val lower = name.toLowerCase
+    val lower = name.toLowerCase(java.util.Locale.ROOT) // locale-invariant dictionary normalization
     val nTok = name.split("\\s+").count(_.nonEmpty)
     !(name.length < 12 ||
       isDoubleName(lower) ||

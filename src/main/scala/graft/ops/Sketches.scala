@@ -28,7 +28,10 @@ object Sketches {
 
   private def tokensOf(text: String): Array[String] =
     if (text == null || text.isEmpty) Array.empty
-    else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: these tokens feed DETERMINISTIC hash keys (shingles,
+    // simhash) — default-locale lowercase would silently change every
+    // sketch on e.g. a tr-TR JVM ('I' → 'ı')
+    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   /** Word-shingle hashes (one 64-bit hash per n-gram, single pass). */
   def shingleHashes(text: String, n: Int): Array[Long] = {
