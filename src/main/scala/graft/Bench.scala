@@ -502,7 +502,16 @@ object QueryProfile {
     val (repeats, names) = args.toSeq match {
       case Seq() => (3, Seq("doc_neardup_groups"))
       case head +: rest if head.forall(_.isDigit) && head.nonEmpty =>
-        (head.toInt, if (rest.nonEmpty) rest else Seq("doc_neardup_groups"))
+        // guarded parse (ADVICE r7): an all-digit arg can still overflow
+        // Int (>9 digits) — that is a usage error (exit 2), not a
+        // NumberFormatException stack trace
+        scala.util.Try(head.toInt).toOption match {
+          case Some(r) if r >= 1 =>
+            (r, if (rest.nonEmpty) rest else Seq("doc_neardup_groups"))
+          case _ =>
+            System.err.println(s"invalid repeat count '$head' (need 1..${Int.MaxValue})")
+            sys.exit(2)
+        }
       case all => (3, all)
     }
     val unknown = names.filterNot(SparkEntry.queries.contains)

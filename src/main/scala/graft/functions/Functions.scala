@@ -33,11 +33,15 @@ object Impl {
     * double BEFORE multiplying, three accumulators folded left-to-right
     * in ONE primitive loop (bitwise-identical to the separate
     * cast-to-double zip_with/aggregate folds it replaces — per-
-    * accumulator summation order is unchanged), min-length pairing,
-    * zero-norm → 0.0 (never NaN: NaN sorts above every sim in a rank
-    * window). Precondition: non-null elements (the embedding tables
-    * guarantee it); a single JIT-compiled static call — no per-row
-    * array casts, no zip_with intermediates, no interpreted lambdas.
+    * accumulator summation order is unchanged), zero-norm → 0.0 (never
+    * NaN: NaN sorts above every sim in a rank window). Precondition:
+    * equal-length arrays with non-null elements — [[CosineSim]] returns
+    * NULL on a length mismatch BEFORE calling this (ADVICE r7: the
+    * zip_with form it replaced null-padded the shorter array and
+    * returned NULL, so a malformed row must stay loud, not score a
+    * plausible min-length-prefix similarity). A single JIT-compiled
+    * static call — no per-row array casts, no zip_with intermediates,
+    * no interpreted lambdas.
     */
   def cosineSim(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -83,6 +87,12 @@ case class SimHash64Title(child: Expression) extends UnaryExpression with Expect
   * Column form it replaces allocated two cast arrays + three zip_with
   * intermediates and evaluated interpreted lambdas per element — the
   * dominant per-candidate cost at every tier (see BENCH/BASELINE.md r7).
+  *
+  * Length mismatch → NULL (ADVICE r7): the zip_with form null-padded the
+  * shorter array, so `p * q` went NULL and the whole score was NULL —
+  * a malformed row must stay VISIBLY malformed, not quietly score its
+  * min-length prefix. Fixed-dim embedding tables never hit this; the
+  * null branch costs one length compare per row.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   // STRICT array<float> (no implicit cast): the kernel reads 4-byte
@@ -92,10 +102,21 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   // implicit double→float cast would quietly change the scored values
   override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Impl.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true // null inputs OR length mismatch
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else Impl.cosineSim(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impl.cosineSim($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Impl.cosineSim($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"

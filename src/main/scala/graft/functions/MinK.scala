@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -55,13 +55,18 @@ final class MinKBuffer(val k: Int) {
   * elements, eval emits the sorted array. Values need not be distinct
   * per group for boundedness; callers with one row per (group, id) get
   * exactly the collect_set-slice semantics (DedupSpec pins equality).
+  *
+  * ImplicitCastInputTypes (ADVICE r7): the collect_set/sort_array form
+  * this replaced accepted any orderable numeric id — a caller with an
+  * INT id column must keep analyzing (int→long implicit widening is
+  * value-preserving); only genuinely non-castable types fail analysis.
   */
 case class MinKLongs(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MinKBuffer] with ExpectsInputTypes {
+  extends TypedImperativeAggregate[MinKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, s"min_k needs k > 0, got $k")
 

@@ -144,6 +144,47 @@ class DedupSpec extends AnyFunSuite {
     assert(got("mega") == Seq("doc00000", "doc00001", "doc00002"))
   }
 
+  test("boundedGroups accepts INT ids (implicit int→long widening — ADVICE r7)") {
+    import spark.implicits._
+    // doc_id is IntegerType here: the slice(sort_array(collect_*)) form
+    // this aggregate replaced accepted any orderable numeric; strict
+    // LongType made an int-keyed caller fail ANALYSIS
+    val rows = Seq(("g", 3), ("g", 1), ("g", 2), ("h", 9)).toDF("k", "doc_id")
+    assert(rows.schema("doc_id").dataType == org.apache.spark.sql.types.IntegerType)
+    val got = Dedup.boundedGroups(rows, Seq("k"), "doc_id", sampleK = 2)
+      .as[(String, Long, Seq[Long])].collect()
+      .map { case (k, n, ids) => k -> ((n, ids)) }.toMap
+    assert(got == Map("g" -> ((3L, Seq(1L, 2L))))) // h: n=1 filtered
+  }
+
+  test("keepFromPairs join-strategy contract: tiny drop set → broadcast anti-join") {
+    import spark.implicits._
+    // the contract (VERDICT r7 item 4): NO static broadcast hint — the
+    // drop set's size is corpus-dependent (a raw crawl's drop set is
+    // corpus-scale, where a forced broadcast OOMs and SMJ is right), so
+    // AQE/planner stats own the choice. This pins the small-set half on
+    // a driver-tier-shaped fixture, on BOTH drop-set plan shapes:
+    val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    // (a) driver union-find path: drops = LocalRelation → static broadcast
+    val keptLocal = Dedup.keepFromPairs(docs, pairs)
+    assert(keptLocal.collect().map(_.getLong(0)).toSet ==
+      (0L until 2000L).toSet -- Set(2L, 6L, 7L)) // component mins 1 and 5 kept
+    val planLocal = keptLocal.queryExecution.executedPlan.toString
+    assert(planLocal.contains("BroadcastHashJoin") && planLocal.contains("LeftAnti"),
+      planLocal.take(3000))
+    // (b) distributed-star path (forced): drops sit above shuffles, so
+    // the conversion is AQE's runtime-stats decision
+    val drops = Dedup.connectedComponentsAuto(pairs, driverThreshold = 1L)
+      .filter($"member" =!= $"component").select($"member")
+    val keptStar = docs.join(drops, docs("doc_id") === drops("member"), "left_anti")
+      .select($"doc_id")
+    keptStar.collect()
+    val planStar = keptStar.queryExecution.executedPlan.toString
+    assert(planStar.contains("BroadcastHashJoin") && planStar.contains("LeftAnti"),
+      planStar.take(3000))
+  }
+
   test("nearDupKeep keeps the min doc_id per component and every non-dup doc") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again in the park"

@@ -186,6 +186,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("zip_with"), plan.take(1500))
   }
 
+  test("CosineSim: length mismatch → NULL (loud malformed row, like the zip_with form)") {
+    import spark.implicits._
+    // ADVICE r7: zip_with null-padded the shorter array so the old form
+    // returned NULL on mismatched dims; the native kernel must not
+    // silently score the min-length prefix instead
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)), // mismatch → NULL
+      (2L, Array(1.0f, 0.0f), Array(1.0f, 0.0f))        // equal dims → 1.0
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.cosineExprSafe(col("a"), col("b")).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isEmpty, "mismatched dims must yield NULL")
+    assert(math.abs(out(2L).get - 1.0) < 1e-12)
+  }
+
   test("dotNorm kernel paths share the zero-norm semantics (brute force, no NaN)") {
     import spark.implicits._
     // ADVICE r2: a zero vector in the corpus must score 0.0 on EVERY path
