@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.TextOps
+import graft.synth.Planted
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the planted-fixture contract (VERDICT r7 item 1): the rows
+  * SparkEntry unions into documents/customer to make doc_exact_dedup,
+  * doc_decontaminate and q6_antijoin non-vacuous at every tier. The
+  * invariants here are exactly what keeps the union SAFE for the other
+  * 44 queries (which read the raw tables) and lockstep with the DuckDB
+  * VALUES literal generated from the same constants.
+  */
+class PlantedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("constants: id ranges, probe residue, SQL-literal safety") {
+    val ids = Planted.docs.map(_._1)
+    assert(ids.distinct.size == ids.size)
+    // far above any tier's real doc_id range, within INT32 for the
+    // DuckDB VALUES literal side
+    assert(ids.forall(id => id >= 960000000L && id <= Int.MaxValue.toLong))
+    // exactly ONE planted probe: the designated one
+    assert(ids.filter(_ % 97 == 0) == Seq(Planted.probeId))
+    // quote/backslash-free single-spaced texts → safe as SQL literals,
+    // and trim/split-stable on both engines
+    Planted.docs.map(_._2).foreach { t =>
+      assert(!t.contains("'") && !t.contains("\\") && !t.contains("\""))
+      assert(t == t.trim && !t.contains("  "))
+    }
+    // exact-dup texts are gram-free (< 13 tokens): they cannot perturb
+    // decontamination; contamination texts are pairwise distinct: they
+    // cannot add exact-dup groups
+    Planted.exactDups.map(_._2).foreach(t => assert(t.split(" ").length < 13))
+    val ct = Planted.contamination.map(_._2)
+    assert(ct.distinct.size == ct.size)
+    assert(Planted.custkeys.forall(_ < 0L)) // no order key is negative
+  }
+
+  test("planted docs produce the designed exact-dup groups and contamination hits") {
+    import spark.implicits._
+    val docs = Planted.docs.toDF("doc_id", "text")
+    val groups = TextOps.exactDupGroups(docs)
+      .select(col("n_dups")).as[Long].collect().sorted.toSeq
+    assert(groups == Seq(2L, 3L), s"expected dup groups of 2 and 3, got $groups")
+    val hits = TextOps.contaminationHits(docs, docs.filter($"doc_id" % 97 === 0))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(970000001L -> 1L, 970000002L -> 2L), hits.toString)
+  }
+}
