@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the clustering-key functions
@@ -54,6 +54,82 @@ object Impl {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Sign-LSH signature over ArrayData — bitwise-identical to
+    * Similarity.signature over Array[Float] (same `dot += p(i).toDouble *
+    * v(i)` left-to-right fold per plane, same `>= 0` sign rule), so the
+    * materialized signature bases and every LSH bucket key are unchanged
+    * by the UDF→expression move (SimilaritySpec pins raw equality).
+    */
+  def signLsh(planes: Array[Array[Float]], v: ArrayData): Int = {
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      val n = math.min(p.length, v.numElements())
+      var i = 0
+      while (i < n) { dot += p(i).toDouble * v.getFloat(i); i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Similarity.dotNorm with an ArrayData right side — identical
+    * accumulation order and zero-norm rule (see [[cosineSim]]).
+    */
+  private def dotNormFA(a: Array[Float], b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.numElements())
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** argmax-cosine centroid id — the IVF corpus-assign rule (strict >
+    * keeps the LOWEST cid on ties), identical to
+    * `nearestCentroids(e, 1).head` in the typed form it replaces.
+    */
+  def nearestCentroid(centroids: Array[Array[Float]], v: ArrayData): Int = {
+    var best = 0; var bestSim = Double.MinValue
+    var i = 0
+    while (i < centroids.length) {
+      val s = dotNormFA(centroids(i), v)
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Top-k nearest centroid ids in (-sim, cid) order — the IVF probe
+    * rule. Mirrors `sortBy { case (i, s) => (-s, i) }.take(k)` exactly:
+    * the comparator is java.lang.Double.compare on sims descending
+    * (Scala's Ordering[Double] = Double.compare, incl. the -0.0 < 0.0
+    * edge), cid ascending on exact ties.
+    */
+  def nearestCentroidsK(centroids: Array[Array[Float]], v: ArrayData, k: Int): ArrayData = {
+    val sims = new Array[Double](centroids.length)
+    val idx = new Array[Integer](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      sims(i) = dotNormFA(centroids(i), v); idx(i) = Integer.valueOf(i); i += 1
+    }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = java.lang.Double.compare(sims(b.intValue()), sims(a.intValue()))
+      if (c != 0) c else Integer.compare(a.intValue(), b.intValue())
+    })
+    val n = math.min(k, idx.length)
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) { out(i) = idx(i).intValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -122,6 +198,73 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+/** Native sign-LSH signature over an `array<float>` column (VERDICT r7
+  * item 3): replaces the per-row `sigUdf` ScalaUDF on the FULL-CORPUS
+  * legs of lshBucketTopK / lshMultiProbeTopK / sigTable / signBanded.
+  * A ScalaUDF deserializes the array to Array[Float] and boxes the
+  * result per row; this is one JIT-compiled static call inside
+  * whole-stage codegen reading 4-byte strides straight from Tungsten
+  * memory. The (tiny — nBits×dim floats, ~2 KB) plane matrix rides the
+  * serialized plan as a codegen reference object; bitwise-identical
+  * signatures (SimilaritySpec raw pin), so every materialized signature
+  * base and bucket key is untouched.
+  */
+case class SignLsh(child: Expression, planes: Array[Array[Float]])
+  extends UnaryExpression with ExpectsInputTypes {
+  // STRICT array<float> — same rationale as CosineSim: getFloat over a
+  // double-written UnsafeArrayData would silently hash garbage
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Impl.signLsh(planes, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.signLsh($p, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): SignLsh = copy(child = c)
+  override def prettyName: String = "sign_lsh"
+}
+
+/** argmax-cosine centroid id for the IVF corpus-assign leg (VERDICT r7
+  * item 3): replaces the typed `.map` whose whole-row encoder boundary
+  * deserialized every corpus row to a (Long, Array[Float]) tuple. The
+  * centroid matrix (nCentroids×dim floats) rides the plan as a codegen
+  * reference; assignment rule is bit-identical (argmax dotNorm, lowest
+  * cid on ties — SimilaritySpec pins equality against the typed rule).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Impl.nearestCentroid(centroids, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c0 = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.nearestCentroid($c0, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** Top-k probe centroid ids (query leg of IVF) — array<int> in
+  * (-sim, cid) order, exploded by the caller. Same tie rule as the
+  * typed `sortBy((-s, i)).take(k)` it replaces.
+  */
+case class NearestCentroidsK(child: Expression, centroids: Array[Array[Float]], k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, s"nearest_centroids_k needs k > 0, got $k")
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Impl.nearestCentroidsK(centroids, v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c0 = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.nearestCentroidsK($c0, $c, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsK = copy(child = c)
+  override def prettyName: String = "nearest_centroids_k"
+}
+
 object GraftFunctions {
 
   def norm_title(c: Column): Column =
@@ -131,6 +274,12 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def sign_lsh(c: Column, planes: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(SignLsh(GraftColumnBridge.expression(c), planes))
+  def nearest_centroid(c: Column, centroids: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(NearestCentroid(GraftColumnBridge.expression(c), centroids))
+  def nearest_centroids_k(c: Column, centroids: Array[Array[Float]], k: Int): Column =
+    GraftColumnBridge.column(NearestCentroidsK(GraftColumnBridge.expression(c), centroids, k))
 
   /** Register for SQL parity: `SELECT norm_title(title), simhash64_title(title)`.
     * detect_lang rides along as a plain UDF (SURVEY.md §2 P2).

@@ -98,17 +98,19 @@ object Similarity {
                         k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
-    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
-    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
-    val probesUdf = udf { (v: Array[Float]) =>
-      val s = signature(planes.value, v)
-      (s +: (0 until nBits).map(b => s ^ (1 << b))).toArray
-    }
+    // native codegen signature on the FULL-CORPUS leg (VERDICT r7 item
+    // 3) — the previous per-row ScalaUDF deserialized every embedding to
+    // Array[Float]; the ~2 KB plane matrix rides the plan, no broadcast
+    // needed. Probe buckets are pure bit arithmetic over the signature.
+    val planes = hyperplanes(dim, nBits, seed)
     val qs = queries.select(col("q_id"), col("embedding").as("q_emb"))
-    val qProbes = qs.withColumn("bucket", explode(probesUdf(col("q_emb"))))
+    val qProbes = qs
+      .withColumn("sig", graft.functions.GraftFunctions.sign_lsh(col("q_emb"), planes))
+      .withColumn("bucket", explode(array(
+        col("sig") +: (0 until nBits).map(b => col("sig").bitwiseXOR(lit(1 << b))): _*)))
       .select(col("q_id"), col("bucket"))
     val cs = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", sigUdf(col("embedding")))
+      .withColumn("bucket", graft.functions.GraftFunctions.sign_lsh(col("embedding"), planes))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -177,12 +179,11 @@ object Similarity {
                     k: Int, nBits: Int = 12, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
-    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
-    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
+    val planes = hyperplanes(dim, nBits, seed) // native expression — see lshMultiProbeTopK
     val qs = queries.select(col("q_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", sigUdf(col("q_emb")))
+      .withColumn("bucket", graft.functions.GraftFunctions.sign_lsh(col("q_emb"), planes))
     val cs = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", sigUdf(col("embedding")))
+      .withColumn("bucket", graft.functions.GraftFunctions.sign_lsh(col("embedding"), planes))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -313,20 +314,26 @@ object Similarity {
   def ivfAssignProbes(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                       nCentroids: Int = 16, nProbe: Int = 2,
                       iters: Int = 3, seed: Long = 42L): (DataFrame, DataFrame) = {
-    import spark.implicits._
     val centroids = kmeansCentroids(spark, corpus, nCentroids, iters, seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-    def nearestCentroids(emb: Array[Float], n: Int): Seq[Int] =
-      bc.value.map { case (i, c) => (i, dotNorm(c, emb)) }
-        .sortBy { case (i, s) => (-s, i) }.take(n).map(_._1).toSeq
-    val assigned = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, e) => (nearestCentroids(e, 1).head, id, e) }
-      .toDF("cid", "vec_id", "embedding")
-    val probes = queries.select(col("q_id").cast("long"), col("embedding").as("q_emb"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, e) => nearestCentroids(e, nProbe).map(c => (c, qid, e)) }
-      .toDF("cid", "q_id", "q_emb")
+    // native codegen assignment on the FULL-CORPUS leg (VERDICT r7 item
+    // 3): the typed `.map` this replaces forced a whole-row encoder
+    // boundary (deserialize (Long, Array[Float]) per row, re-serialize);
+    // NearestCentroid reads Tungsten floats in place — ids never leave
+    // primitive/UTF8 form. The centroid matrix (zipWithIndex order =
+    // array position = cid) rides the plan; assignment and probe rules
+    // are identical (argmax dotNorm, lowest cid on ties; top-k by
+    // (-sim, cid)) — SimilaritySpec pins both against the typed rule.
+    val cents: Array[Array[Float]] = centroids.map(_._2)
+    val assigned = corpus.select(
+      graft.functions.GraftFunctions.nearest_centroid(col("embedding"), cents).as("cid"),
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val probes = queries
+      .select(col("q_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+      .select(
+        explode(graft.functions.GraftFunctions.nearest_centroids_k(
+          col("q_emb"), cents, nProbe)).as("cid"),
+        col("q_id"), col("q_emb"))
     (assigned, probes)
   }
 
@@ -373,10 +380,9 @@ object Similarity {
                seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
-    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
-    val sigUdf = udf((v: Array[Float]) => signature(planes.value, v))
     corpus.select(col("vec_id").cast("long").as("vec_id"),
-      sigUdf(col("embedding")).as("sig"))
+      graft.functions.GraftFunctions.sign_lsh(col("embedding"),
+        hyperplanes(dim, nBits, seed)).as("sig"))
   }
 
   /** (vec_id, band, sig) banded sign-LSH signatures — the shared base of
@@ -387,13 +393,14 @@ object Similarity {
                  bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
-    val planes = spark.sparkContext.broadcast(
-      Array.tabulate(bands)(b => hyperplanes(dim, bitsPerBand, seed + 101L * b)))
-    val sigsUdf = udf { (v: Array[Float]) =>
-      planes.value.map(p => signature(p, v))
-    }
+    // one native signature expression per band, posexploded in band
+    // order — identical (band, sig) rows to the Array-returning UDF this
+    // replaces (array position = band index)
+    val perBand = Array.tabulate(bands)(b =>
+      graft.functions.GraftFunctions.sign_lsh(col("embedding"),
+        hyperplanes(dim, bitsPerBand, seed + 101L * b)))
     corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      .select(col("vec_id"), posexplode(sigsUdf(col("embedding"))).as(Seq("band", "sig")))
+      .select(col("vec_id"), posexplode(array(perBand.toIndexedSeq: _*)).as(Seq("band", "sig")))
   }
 
   def cosineDupPairs(spark: SparkSession, corpus: DataFrame, minSim: Double,

@@ -186,6 +186,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("zip_with"), plan.take(1500))
   }
 
+  test("native SignLsh ≡ Array[Float] signature kernel RAW (all sf0.001 vectors, 3 plane sets)") {
+    import spark.implicits._
+    // the UDF→expression move (VERDICT r7 item 3) must not flip a single
+    // bucket bit: every materialized signature base (ann_sig6/8,
+    // emb_banded) and every LSH bucket key hangs off these ints
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val dim = vecs.head._2.length
+    for (nBits <- Seq(6, 8, 12)) {
+      val planes = Similarity.hyperplanes(dim, nBits, 42L)
+      val got = Similarity.sigTable(spark, emb, nBits)
+        .as[(Long, Int)].collect().toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) == Similarity.signature(planes, v), s"nBits=$nBits id=$id")
+      }
+    }
+    // banded: (band, sig) rows equal the per-band kernel signatures
+    val banded = Similarity.signBanded(spark, emb, bands = 4, bitsPerBand = 8)
+      .as[(Long, Int, Int)].collect().map { case (id, b, s) => (id, b) -> s }.toMap
+    val bandPlanes = Array.tabulate(4)(b => Similarity.hyperplanes(dim, 8, 42L + 101L * b))
+    vecs.foreach { case (id, v) =>
+      (0 until 4).foreach { b =>
+        assert(banded((id, b)) == Similarity.signature(bandPlanes(b), v))
+      }
+    }
+  }
+
+  test("native IVF assign/probes ≡ the typed rule (argmax dotNorm, (-sim, cid) top-k)") {
+    import spark.implicits._
+    val (assigned, probes) = Similarity.ivfAssignProbes(spark, emb, queries)
+    val gotAssign = assigned.select(col("vec_id"), col("cid"))
+      .as[(Long, Int)].collect().toMap
+    val gotProbes = probes.select(col("q_id"), col("cid"))
+      .as[(Long, Int)].collect().groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    // driver-side re-derivation of the typed rule this expression replaced
+    val cents = Similarity.kmeansCentroids(spark, emb, nCentroids = 16, iters = 3, seed = 42L)
+    def dn(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length); var i = 0
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    def nearest(e: Array[Float], n: Int): Seq[Int] =
+      cents.map { case (i, c) => (i, dn(c, e)) }
+        .sortBy { case (i, s) => (-s, i) }.take(n).map(_._1).toSeq
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().foreach { case (id, e) =>
+        assert(gotAssign(id) == nearest(e, 1).head, s"vec $id")
+      }
+    queries.select(col("q_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().foreach { case (q, e) =>
+        assert(gotProbes(q) == nearest(e, 2).toSet, s"query $q")
+      }
+  }
+
+  test("corpus legs are expression-only: no ScalaUDF, no encoder boundary (plan pin)") {
+    // VERDICT r7 item 3 done-criterion: the full-corpus legs of every
+    // embedding path run inside whole-stage codegen — no per-row UDF
+    // deserialization, no typed-map DeserializeToObject
+    val plans = Seq(
+      "sigTable" -> Similarity.sigTable(spark, emb, nBits = 8),
+      "signBanded" -> Similarity.signBanded(spark, emb),
+      "lshBucket" -> Similarity.lshBucketTopK(spark, emb, queries, k = 5, nBits = 6),
+      "lshMultiProbe" -> Similarity.lshMultiProbeTopK(spark, emb, queries, k = 5, nBits = 8),
+      "ivfAssign" -> Similarity.ivfAssignProbes(spark, emb, queries)._1,
+      "ivfProbes" -> Similarity.ivfAssignProbes(spark, emb, queries)._2)
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"$name:\n${p.take(2000)}")
+      assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"),
+        s"$name:\n${p.take(2000)}")
+    }
+  }
+
   test("CosineSim: length mismatch → NULL (loud malformed row, like the zip_with form)") {
     import spark.implicits._
     // ADVICE r7: zip_with null-padded the shorter array so the old form
