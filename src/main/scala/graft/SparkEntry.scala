@@ -386,6 +386,15 @@ object SparkEntry {
       TextOps.contaminationHits(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
+    // the hashed-gram production twin (grams ride the broadcast as
+    // xxhash64 longs — VERDICT r7 item 5); its oracle is the SAME
+    // raw-string SQL as doc_decontaminate, so any hash collision at any
+    // tier turns this row red instead of passing silently
+    "doc_decontaminate_hashed" -> ((s, d) => {
+      val docs = docsPlanted(s, d)
+      TextOps.contaminationHitsHashed(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
+
     // per-source quota (the per-domain cap of web-corpus curation)
     "doc_source_cap" -> ((s, d) =>
       TextOps.sourceCap(t(s, d, "documents"), k = 10)),
@@ -695,6 +704,21 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)""".stripMargin,
     "doc_decontaminate" ->
+      s"""WITH docs_p AS (
+         |  SELECT doc_id, text FROM documents UNION ALL $plantedDocsValuesSql),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM docs_p),
+         |grams AS (
+         |  SELECT doc_id, unnest([array_to_string(t[i:i+12], ' ') for i in range(1, len(t) - 11)]) AS gram
+         |  FROM toks WHERE len(t) >= 13),
+         |probes AS (SELECT doc_id AS probe_id, gram FROM grams WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+         |FROM grams g JOIN probes p ON p.gram = g.gram AND p.probe_id <> g.doc_id
+         |GROUP BY g.doc_id""".stripMargin,
+    // the hashed twin verifies against the RAW-STRING oracle: equality
+    // holds unless xxhash64 collides on two distinct grams (vanishing at
+    // 64 bits; a collision = a red row, never a silent pass)
+    "doc_decontaminate_hashed" ->
       s"""WITH docs_p AS (
          |  SELECT doc_id, text FROM documents UNION ALL $plantedDocsValuesSql),
          |toks AS (

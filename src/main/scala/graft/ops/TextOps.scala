@@ -117,56 +117,86 @@ object TextOps {
     * corpus-gram sort-merge shuffle), so the corpus grams stream
     * map-side through the join with NO corpus-sized shuffle; the only
     * shuffle is the final per-doc count over the (tiny) hit set. Grams
-    * are matched as raw strings here for oracle-comparability; a
-    * production variant would hash them (xxhash64) to shrink the
-    * broadcast — same plan shape.
+    * are matched as raw strings here for oracle-comparability;
+    * [[contaminationHitsHashed]] is the production twin that ships
+    * xxhash64 longs instead (≈12× smaller broadcast, spec-pinned
+    * agreement).
     */
+  // (id, gram) word-n-gram table via a typed kernel: tokenize ONCE per
+  // doc, emit the sliding windows in a plain JVM loop. Both Column
+  // formulations were measured ~7 s at sf1 and rejected: transform(
+  // sequence, i => ...) puts the gram build inside a HigherOrderFunction
+  // lambda (evaluated interpreted per element, the r7 zip_with-cosine
+  // trap), and the explode-positions + slice/array_join form lets
+  // CollapseProject inline `split(text)` into the post-explode
+  // projection — the doc is re-tokenized once PER GRAM (~38×) either
+  // way. The kernel matches the Column/DuckDB semantics exactly: lower →
+  // trim → split \s+ (trim-first means no empty tokens; <n tokens ⇒ no
+  // grams; null text ⇒ no rows).
+  // Semantics mirror trim → lower → split('\s+') as BOTH engines define
+  // them (r7 review finding): trim strips SPACES only (Java String.trim
+  // would also eat tabs/newlines, changing the token list vs the oracle
+  // — a tab-prefixed doc legitimately yields a leading empty token in
+  // both engines, and the gram strings containing it must match),
+  // lowercase is Locale.ROOT (default-locale toLowerCase is wrong on
+  // e.g. tr-TR JVMs where 'I' → 'ı'). NULL doc_id or text rows are
+  // dropped up front — exactly the rows the oracle's join can never emit
+  // (NULL comparisons are never true in SQL).
+  private def gramTable(df: DataFrame, idAs: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        var b = 0
+        var e = text.length
+        while (b < e && text.charAt(b) == ' ') b += 1
+        while (e > b && text.charAt(e - 1) == ' ') e -= 1
+        val toks = text.substring(b, e)
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (toks.length < n) Iterator.empty
+        else (0 to toks.length - n).iterator
+          .map(i => (id, toks.slice(i, i + n).mkString(" ")))
+      })
+      .toDF(idAs, "gram")
+  }
+
   def contaminationHits(docs: DataFrame, probes: DataFrame,
                         n: Int = 13): DataFrame = {
-    // (doc_id, gram) via a typed kernel: tokenize ONCE per doc, emit the
-    // sliding windows in a plain JVM loop. Both Column formulations were
-    // measured ~7 s at sf1 and rejected: transform(sequence, i => ...)
-    // puts the gram build inside a HigherOrderFunction lambda (evaluated
-    // interpreted per element, the r7 zip_with-cosine trap), and the
-    // explode-positions + slice/array_join form lets CollapseProject
-    // inline `split(text)` into the post-explode projection — the doc is
-    // re-tokenized once PER GRAM (~38×) either way. The kernel matches
-    // the Column/DuckDB semantics exactly: lower → trim → split \s+
-    // (trim-first means no empty tokens; <n tokens ⇒ no grams; null
-    // text ⇒ no rows).
-    // Semantics mirror trim → lower → split('\s+') as BOTH engines
-    // define them (r7 review finding): trim strips SPACES only (Java
-    // String.trim would also eat tabs/newlines, changing the token list
-    // vs the oracle — a tab-prefixed doc legitimately yields a leading
-    // empty token in both engines, and the gram strings containing it
-    // must match), lowercase is Locale.ROOT (default-locale toLowerCase
-    // is wrong on e.g. tr-TR JVMs where 'I' → 'ı'). NULL doc_id or text
-    // rows are dropped up front — exactly the rows the oracle's join can
-    // never emit (NULL comparisons are never true in SQL).
-    def grams(df: DataFrame, idAs: String): DataFrame = {
-      val spark = df.sparkSession
-      import spark.implicits._
-      df.filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          var b = 0
-          var e = text.length
-          while (b < e && text.charAt(b) == ' ') b += 1
-          while (e > b && text.charAt(e - 1) == ' ') e -= 1
-          val toks = text.substring(b, e)
-            .toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          if (toks.length < n) Iterator.empty
-          else (0 to toks.length - n).iterator
-            .map(i => (id, toks.slice(i, i + n).mkString(" ")))
-        })
-        .toDF(idAs, "gram")
-    }
-    val dg = grams(docs, "doc_id")
-    val pg = broadcast(grams(probes, "probe_id"))
+    val dg = gramTable(docs, "doc_id", n)
+    val pg = broadcast(gramTable(probes, "probe_id", n))
     dg.join(pg, dg("gram") === pg("gram") && dg("doc_id") =!= pg("probe_id"))
       .groupBy(dg("doc_id"))
       .agg(countDistinct(dg("gram")).as("n_hits"))
+  }
+
+  /** The production-scale twin of [[contaminationHits]] (VERDICT r7 item
+    * 5): grams ride the broadcast and the join as xxhash64 LONGS instead
+    * of raw ~13-token strings. Same kernel, same plan shape (probe side
+    * broadcast-pinned, corpus grams stream map-side), but the broadcast
+    * payload shrinks ~12× — at a real benchmark suite (millions of probe
+    * grams) that is the difference between a comfortable broadcast and a
+    * failed one (measured at the 10× tier: see BENCH/BASELINE.md r8).
+    *
+    * Semantics: identical to the raw-string form UNLESS two distinct
+    * grams collide in xxhash64 (then a hit could be over- or
+    * under-counted by the collided gram) — at 64 bits the birthday bound
+    * for a billion-gram probe suite is ~3e-2 colliding PAIRS, i.e.
+    * vanishing; TextOpsSpec pins exact agreement on the planted fixtures
+    * and on random corpora, and the doc_decontaminate_hashed query runs
+    * against the SAME DuckDB raw-string oracle, so a collision at any
+    * tier turns the driver's check red instead of passing silently.
+    */
+  def contaminationHitsHashed(docs: DataFrame, probes: DataFrame,
+                              n: Int = 13): DataFrame = {
+    val dg = gramTable(docs, "doc_id", n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val pg = broadcast(gramTable(probes, "probe_id", n)
+      .select(col("probe_id"), xxhash64(col("gram")).as("gh")))
+    dg.join(pg, dg("gh") === pg("gh") && dg("doc_id") =!= pg("probe_id"))
+      .groupBy(dg("doc_id"))
+      .agg(countDistinct(dg("gh")).as("n_hits"))
   }
 
   /** Per-source quota capping (the per-domain cap of web-corpus curation:

@@ -53,5 +53,10 @@ class PlantedSpec extends AnyFunSuite {
     val hits = TextOps.contaminationHits(docs, docs.filter($"doc_id" % 97 === 0))
       .as[(Long, Long)].collect().toMap
     assert(hits == Map(970000001L -> 1L, 970000002L -> 2L), hits.toString)
+    // the hashed production twin agrees on the planted fixtures
+    // (VERDICT r7 item 5 done-criterion)
+    val hashed = TextOps.contaminationHitsHashed(docs, docs.filter($"doc_id" % 97 === 0))
+      .as[(Long, Long)].collect().toMap
+    assert(hashed == hits, hashed.toString)
   }
 }

@@ -91,6 +91,16 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     contaminated.collect()
     assert(contaminated.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
+    // hashed production twin (VERDICT r7 item 5): exact agreement, same
+    // broadcast plan shape, and the join payload is LONGS — no gram
+    // string crosses the broadcast
+    val hashed = TextOps.contaminationHitsHashed(docs, probes, n = 13)
+    assert(hashed.as[(Long, Long)].collect().toMap == got)
+    hashed.collect()
+    val hp = hashed.queryExecution.executedPlan.toString
+    assert(hp.contains("BroadcastHashJoin"), hp.take(2000))
+    val joinLine = hp.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    joinLine.foreach(l => assert(l.contains("gh") && !l.contains("gram#"), l))
   }
 
   test("sourceCap: k smallest doc_ids per source, WindowGroupLimit in the plan") {
@@ -150,6 +160,10 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       val got = TextOps.contaminationHits(docs, probes, n = 13)
         .as[(Long, Long)].collect().toMap
       assert(got == expect, s"corpus $ci: got $got expect $expect\n$rows")
+      // hashed twin agrees exactly on every random corpus
+      val gotHashed = TextOps.contaminationHitsHashed(docs, probes, n = 13)
+        .as[(Long, Long)].collect().toMap
+      assert(gotHashed == expect, s"corpus $ci hashed: got $gotHashed expect $expect")
       // sourceCap vs brute force on a skewed random source assignment
       val withSrc = rows.map { case (id, t) => (id, t, s"s${id % 3 % 2}") }
         .toDF("doc_id", "text", "source")
