@@ -546,6 +546,27 @@ object QueryProfile {
   }
 }
 
+/** Minimal host-quietness probe: one extraction tell over the
+  * materialized corpus for (SPARK_GRAFT_CPUS, nDocs) — the cheap
+  * front-end of the quiet-window hunt (r7 ran 32 manual probes; this
+  * makes the loop scriptable). Prints one JSON line.
+  *
+  * {{{ SPARK_GRAFT_CPUS=16 sbt "runMain graft.TellProbe 8000000" }}}
+  */
+object TellProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 8000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Bench.session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val pq = Bench.corpusParquet(spark, nDocs, 128)
+    Bench.timeExtractParquetExpr(spark, pq) // warmup (codegen + page cache)
+    val tell = (1 to 2).map(_ => nDocs / Bench.timeExtractParquetExpr(spark, pq)._2).max
+    println(s"""{"tell_probe":${tell.round},"cpus":$cpus,"docs":$nDocs}""")
+    spark.stop()
+  }
+}
+
 /** `runMain graft.PipeProfile [nDocs] [repeats]` — see [[ScalingBench.profile]]. */
 object PipeProfile {
   def main(args: Array[String]): Unit = {
