@@ -395,11 +395,15 @@ object Similarity {
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
     // one native signature expression per band, posexploded in band
     // order — identical (band, sig) rows to the Array-returning UDF this
-    // replaces (array position = band index)
+    // replaces (array position = band index). The null-embedding filter
+    // preserves the UDF form's row semantics exactly: the UDF returned
+    // NULL for a null vector and posexplode emitted nothing, whereas
+    // array(sign_lsh…) would emit `bands` null-sig rows
     val perBand = Array.tabulate(bands)(b =>
       graft.functions.GraftFunctions.sign_lsh(col("embedding"),
         hyperplanes(dim, bitsPerBand, seed + 101L * b)))
     corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), posexplode(array(perBand.toIndexedSeq: _*)).as(Seq("band", "sig")))
   }
 

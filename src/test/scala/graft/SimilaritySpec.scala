@@ -211,6 +211,13 @@ class SimilaritySpec extends AnyFunSuite {
         assert(banded((id, b)) == Similarity.signature(bandPlanes(b), v))
       }
     }
+    // null-embedding rows vanish, exactly like the UDF form (whose NULL
+    // array posexploded to nothing) — not `bands` null-sig rows
+    val withNull = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.signBanded(spark, withNull, bands = 4, bitsPerBand = 8)
+      .as[(Long, Int, Int)].collect()
+    assert(rows.length == 4 && rows.forall(_._1 == 1L), rows.mkString(","))
   }
 
   test("native IVF assign/probes ≡ the typed rule (argmax dotNorm, (-sim, cid) top-k)") {
