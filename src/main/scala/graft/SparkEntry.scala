@@ -40,6 +40,21 @@ object SparkEntry {
       .map { case (id, text) => s"($id, '$text')" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS pl(doc_id, text)")
 
+  /** documents ∪ the planted PII rows — consumed ONLY by doc_pii_scrub
+    * (see [[graft.synth.Planted.pii]]); every other query reads the raw
+    * table or [[docsPlanted]].
+    */
+  private def docsPii(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(graft.synth.Planted.pii.toDF("doc_id", "text"))
+  }
+
+  private def plantedPiiValuesSql: String =
+    graft.synth.Planted.pii
+      .map { case (id, text) => s"($id, '$text')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS pp(doc_id, text)")
+
   private def plantedCustkeysValuesSql: String =
     graft.synth.Planted.custkeys
       .map(k => s"(CAST($k AS BIGINT))")
@@ -399,6 +414,24 @@ object SparkEntry {
     "doc_source_cap" -> ((s, d) =>
       TextOps.sourceCap(t(s, d, "documents"), k = 10)),
 
+    // Gopher-style repetition quality signals — hot path is the native
+    // single-pass RepStats expression (the Column-HOF twin is the
+    // oracle-shaped form, equality spec-pinned); map-only, no shuffle
+    "doc_repetition" -> ((s, d) => {
+      val cols = TextOps.repetitionColumnsNative(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, d, "documents").select(col("doc_id") +: cols: _*)
+    }),
+
+    // PII redaction pass: emails then long digit runs, counts of each;
+    // planted rows make both patterns + the negative control non-vacuous
+    // at every tier (the synthetic corpus contains no PII)
+    "doc_pii_scrub" -> ((s, d) => {
+      val cols = TextOps.piiScrubColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      docsPii(s, d).select(col("doc_id") +: cols: _*)
+    }),
+
     // ---- similarity search over embeddings (rows-only: float scores) --
     "ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -736,6 +769,46 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+    // dup-token / dup-2-gram fractions are ×10000-floored ints: both
+    // engines divide the same exact small ints (correctly-rounded IEEE
+    // division; the true rational quotient is ≥ 1/n away from any other
+    // integer boundary), so floor cannot straddle engines
+    "doc_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE [t[i] || ' ' || t[i+1] for i in range(1, len(t))] END AS g2
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  CASE WHEN n > 0
+        |    THEN CAST(floor((n - len(list_distinct(t))) * 10000 / n) AS BIGINT)
+        |    ELSE 0 END AS dup_token_x10k,
+        |  CASE WHEN len(g2) > 0
+        |    THEN CAST(floor((len(g2) - len(list_distinct(g2))) * 10000 / len(g2)) AS BIGINT)
+        |    ELSE 0 END AS dup_2gram_x10k
+        |FROM g""".stripMargin,
+    // same patterns, same order (emails scrubbed before numbers are
+    // counted) as TextOps.piiScrubColumns; 'g' flag = replace ALL
+    // (DuckDB's default is first-match-only, Spark's is all)
+    "doc_pii_scrub" ->
+      s"""WITH docs_p AS (
+         |  SELECT doc_id, text FROM documents UNION ALL $plantedPiiValuesSql),
+         |s1 AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails
+         |  FROM docs_p)
+         |SELECT doc_id,
+         |  regexp_replace(t1, '[0-9]{7,}', '<NUM>', 'g') AS text_scrubbed,
+         |  n_emails,
+         |  len(regexp_extract_all(t1, '[0-9]{7,}')) AS n_nums
+         |FROM s1""".stripMargin,
     "media_frame_plan" ->
       """SELECT doc_id, unnest(range(0, frames, 30)) AS frame_idx
         |FROM read_parquet('{OUT}/_base/media_meta/*.parquet')

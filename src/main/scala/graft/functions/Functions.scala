@@ -77,6 +77,54 @@ object Impl {
     sig
   }
 
+  // Spark's split(col, pat) is Pattern.split(s, -1): trailing empty
+  // fields are KEPT (String.split's default limit 0 would drop them) —
+  // the kernel must match the Column twin on e.g. tab-trailing text
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Single-pass repetition counts `[n_tokens, n_distinct_tokens,
+    * n_2grams, n_distinct_2grams]` — semantics exactly mirror the Column
+    * twin `TextOps.repetitionCountsColumn` (trim SPACES only → Locale.ROOT
+    * lowercase → split `\s+` with Spark's limit -1; < 2 tokens ⇒ no
+    * 2-grams; all-space text ⇒ all zeros). Distinct 2-grams are counted
+    * as distinct interned-token-id PAIRS packed into a long — exact
+    * (tokens cannot contain the join space, so pair-distinct ≡
+    * joined-string-distinct), with no gram strings materialized.
+    */
+  def repStats(s: UTF8String): ArrayData = {
+    val text = s.toString
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    if (b == e)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0, 0, 0, 0))
+    val toks = WsPattern.split(
+      text.substring(b, e).toLowerCase(java.util.Locale.ROOT), -1)
+    val n = toks.length
+    val ids = new Array[Int](n)
+    val idOf = new java.util.HashMap[String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      var id = idOf.get(toks(i))
+      if (id == null) { id = Integer.valueOf(idOf.size()); idOf.put(toks(i), id) }
+      ids(i) = id.intValue()
+      i += 1
+    }
+    val n2 = if (n < 2) 0 else n - 1
+    var nd2 = 0
+    if (n2 > 0) {
+      val pairs = new java.util.HashSet[java.lang.Long](n2 * 2)
+      i = 0
+      while (i < n - 1) {
+        pairs.add(java.lang.Long.valueOf((ids(i).toLong << 32) | ids(i + 1).toLong))
+        i += 1
+      }
+      nd2 = pairs.size()
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(n, idOf.size(), n2, nd2))
+  }
+
   /** Similarity.dotNorm with an ArrayData right side — identical
     * accumulation order and zero-norm rule (see [[cosineSim]]).
     */
@@ -265,6 +313,26 @@ case class NearestCentroidsK(child: Expression, centroids: Array[Array[Float]], 
   override def prettyName: String = "nearest_centroids_k"
 }
 
+/** Single-pass repetition counts over a string column (the Gopher-rule
+  * quality-signal kernel; see `TextOps.repetitionColumns`). The Column
+  * twin builds a 2-gram string array through `transform`/`element_at`
+  * HOFs — interpreted lambdas per element plus a materialized gram
+  * array per row (the same trap CosineSim removed from the ANN verify
+  * legs); this is one JIT-compiled static call inside whole-stage
+  * codegen. TextOpsSpec pins exact equality against the Column twin on
+  * synth corpora and adversarial whitespace/case edges.
+  */
+case class RepStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Impl.repStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.repStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepStats = copy(c)
+  override def prettyName: String = "rep_stats"
+}
+
 object GraftFunctions {
 
   def norm_title(c: Column): Column =
@@ -280,6 +348,8 @@ object GraftFunctions {
     GraftColumnBridge.column(NearestCentroid(GraftColumnBridge.expression(c), centroids))
   def nearest_centroids_k(c: Column, centroids: Array[Array[Float]], k: Int): Column =
     GraftColumnBridge.column(NearestCentroidsK(GraftColumnBridge.expression(c), centroids, k))
+  def rep_stats(c: Column): Column =
+    GraftColumnBridge.column(RepStats(GraftColumnBridge.expression(c)))
 
   /** Register for SQL parity: `SELECT norm_title(title), simhash64_title(title)`.
     * detect_lang rides along as a plain UDF (SURVEY.md §2 P2).
@@ -303,6 +373,8 @@ object GraftFunctions {
         val exprs = arity("cosine_sim", 2, exprs0)
         CosineSim(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rep_stats", exprs => RepStats(arity("rep_stats", 1, exprs).head), "built-in")
     spark.udf.register("detect_lang", (s: String) => graft.lang.LangId.detect(s))
   }
 }

@@ -219,6 +219,93 @@ object TextOps {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Gopher-style repetition signals (the "repetitious text" quality
+    * rules of web-corpus curation, re-expressed as per-row Column
+    * arithmetic): fraction of duplicated tokens and fraction of
+    * duplicated 2-grams in a document. Heavily repetitive documents
+    * (boilerplate, keyword stuffing, generation loops) score high and
+    * get filtered before training.
+    *
+    * Fractions are ×10000-floored integers — exact cross-engine compare,
+    * same argument as doc_ngram_jaccard: both engines divide the same
+    * exact small ints (correctly-rounded IEEE division), and the true
+    * rational quotient is ≥ 1/n away from any other integer boundary, so
+    * the floor cannot straddle engines.
+    *
+    * Scale shape: pure per-row expressions, embarrassingly parallel — a
+    * single map stage with no shuffle at any corpus size. The 2-gram
+    * builder uses `transform`/`element_at` HOFs (interpreted lambdas);
+    * this is the SQL-expressible oracle twin — the hot path is
+    * [[graft.functions.RepStats]], a single-pass native expression
+    * (equality spec-pinned in TextOpsSpec).
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] =
+    repetitionFromCounts(repetitionCountsColumn(text))
+
+  /** Hot-path twin of [[repetitionColumns]]: same output columns from
+    * the single-pass native [[graft.functions.RepStats]] counts (no
+    * interpreted HOF lambdas, no gram-string arrays materialized).
+    */
+  def repetitionColumnsNative(text: Column): Seq[(String, Column)] =
+    repetitionFromCounts(graft.functions.GraftFunctions.rep_stats(text))
+
+  /** [n_tokens, n_distinct_tokens, n_2grams, n_distinct_2grams] as pure
+    * Column arithmetic — the SQL-expressible oracle twin of RepStats.
+    */
+  private[graft] def repetitionCountsColumn(text: Column): Column = {
+    val toks = when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+    val n = size(toks)
+    // 1-based element_at; guarded so sequence() never sees start > stop
+    val grams2 = when(n < 2, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    array(n, size(array_distinct(toks)), size(grams2), size(array_distinct(grams2)))
+  }
+
+  private def repetitionFromCounts(counts: Column): Seq[(String, Column)] = {
+    val n = element_at(counts, 1)
+    val nd = element_at(counts, 2)
+    val n2 = element_at(counts, 3)
+    val nd2 = element_at(counts, 4)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "dup_token_x10k" ->
+        when(n > 0, floor(((n - nd) * lit(10000)) / n)).otherwise(lit(0L)),
+      "dup_2gram_x10k" ->
+        when(n2 > 0, floor(((n2 - nd2) * lit(10000)) / n2)).otherwise(lit(0L)))
+  }
+
+  /** Email pattern shared by the Spark and DuckDB sides of the PII
+    * scrubber — classes + greedy quantifiers only, so java.util.regex
+    * and RE2 agree on every match (both leftmost-first).
+    */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (≥7): phone numbers, SSN-ish ids, account numbers. */
+  val PiiNumPattern = "[0-9]{7,}"
+
+  /** PII scrubbing (the redaction pass of a training-data pipeline):
+    * replace email addresses with `<EMAIL>`, then long digit runs with
+    * `<NUM>`, and count each. Numbers are counted AFTER the email pass —
+    * digits inside an address are already redacted as part of `<EMAIL>`
+    * and must not double-count (the oracle mirrors the same order).
+    *
+    * Scale shape: pure per-row regexp expressions (codegen'd) — a single
+    * map stage, no shuffle, no UDF. The synthetic corpus contains no
+    * PII, so [[graft.synth.Planted.pii]] rows make every tier exercise
+    * both patterns plus a negative control (VERDICT r7 item 1 pattern).
+    */
+  def piiScrubColumns(text: Column): Seq[(String, Column)] = {
+    val nEmails = size(regexp_extract_all(text, lit(PiiEmailPattern), lit(0))).cast("long")
+    val t1 = regexp_replace(text, PiiEmailPattern, "<EMAIL>")
+    val nNums = size(regexp_extract_all(t1, lit(PiiNumPattern), lit(0))).cast("long")
+    Seq(
+      "text_scrubbed" -> regexp_replace(t1, PiiNumPattern, "<NUM>"),
+      "n_emails" -> nEmails,
+      "n_nums" -> nNums)
+  }
+
   /** Deterministic reproducible sampling: keep a row iff the first two
     * hex digits of md5(key) fall below the threshold — identical
     * selection in any engine with md5 (no RNG, no seed drift, stable

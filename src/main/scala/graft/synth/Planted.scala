@@ -62,4 +62,21 @@ object Planted {
     * guaranteed q6 anti-join survivors.
     */
   val custkeys: Seq[Long] = Seq(-1L, -2L)
+
+  /** PII fixtures for doc_pii_scrub (same rationale as [[docs]]: the
+    * synthetic corpus contains no email addresses or ≥7-digit runs, so
+    * the scrubber would be vacuously green at every tier). One
+    * email-only row, one numbers-only row, one with both (number
+    * counted AFTER the email pass — the address's own digits must not
+    * double-count), and one negative control that must pass through
+    * byte-identical. NEVER unioned into any other query's input — the
+    * [[docs]] invariants (gram-freedom, single mod-97 probe) do not
+    * constrain these rows, only the id-range/SQL-literal ones do
+    * (PlantedSpec pins both sets).
+    */
+  val pii: Seq[(Long, String)] = Seq(
+    (980000001L, "zzpii reach alice.smith@example.com for access"),
+    (980000002L, "zzpii call 5551234567 or 18005551212 today"),
+    (980000003L, "zzpii bob_jr+spam@mail.example.org backup 1234567 zztail"),
+    (980000004L, "zzpii clean row with no sensitive content"))
 }

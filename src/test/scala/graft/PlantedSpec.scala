@@ -44,6 +44,29 @@ class PlantedSpec extends AnyFunSuite {
     assert(Planted.custkeys.forall(_ < 0L)) // no order key is negative
   }
 
+  test("pii constants: id ranges, literal safety, one of each pattern shape") {
+    val ids = Planted.pii.map(_._1)
+    assert(ids.distinct.size == ids.size)
+    // same range contract as docs: above every tier's real id range,
+    // within INT32 for the DuckDB VALUES literal
+    assert(ids.forall(id => id >= 960000000L && id <= Int.MaxValue.toLong))
+    // disjoint from the decontamination/dedup fixture ids — the sets
+    // union into DIFFERENT queries and must never alias
+    assert((ids.toSet & Planted.docs.map(_._1).toSet).isEmpty)
+    Planted.pii.map(_._2).foreach { t =>
+      assert(!t.contains("'") && !t.contains("\\") && !t.contains("\""))
+      assert(t == t.trim && !t.contains("  "))
+    }
+    // the four rows cover exactly the four pattern shapes: email-only,
+    // numbers-only, both, neither (the negative control)
+    val shapes = Planted.pii.map { case (_, t) =>
+      (TextOps.PiiEmailPattern.r.findFirstIn(t).isDefined,
+        TextOps.PiiNumPattern.r.findFirstIn(t).isDefined)
+    }
+    assert(shapes.toSet == Set((true, false), (false, true), (true, true), (false, false)),
+      shapes.toString)
+  }
+
   test("planted docs produce the designed exact-dup groups and contamination hits") {
     import spark.implicits._
     val docs = Planted.docs.toDF("doc_id", "text")

@@ -122,6 +122,109 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       .contains("WindowGroupLimit"), capped.queryExecution.executedPlan.toString)
   }
 
+  test("repetition signals: native RepStats ≡ Column twin ≡ brute force, map-only plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // adversarial whitespace/case edges: empty, all-space, tab-only
+    // (split keeps LEADING and — with Spark's limit -1 — TRAILING empty
+    // tokens), single token, all-same, alternating 2-gram repeats,
+    // case folding, multi-space separators, tab-trailing text
+    val texts = Seq(
+      "", "   ", "\t", "a", "a a", "a b a b a b", "a a a a",
+      "Alpha ALPHA alpha", "x y x y x", "one two three four",
+      "a b  c", " padded  text ", "tab\ttokens here", "trail\t",
+      "w0 w1 w0 w1 w0 w1 end") ++
+      (0 until 20).map(i => s"w${i % 3} w${(i + 1) % 4} w${i % 2} w${i % 3} end$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def run(f: Column => Seq[(String, Column)]) =
+      docs.select(col("doc_id") +: f(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val native = run(TextOps.repetitionColumnsNative)
+    val column = run(TextOps.repetitionColumns)
+    assert(native == column)
+    // brute force mirroring both twins' exact semantics: space-only
+    // trim, ROOT lowercase, \s+ split with limit -1 (trailing empties
+    // kept — Spark's split semantics)
+    val expect = texts.zipWithIndex.map { case (t0, i) =>
+      val t = t0.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      i.toLong -> (if (t.isEmpty) (0L, 0L, 0L) else {
+        val toks = java.util.regex.Pattern.compile("\\s+")
+          .split(t.toLowerCase(java.util.Locale.ROOT), -1).toSeq
+        val n = toks.length
+        val nd = toks.distinct.length
+        val g2 = if (n < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toList
+        val (n2, nd2) = (g2.length, g2.distinct.length)
+        (n.toLong,
+          if (n > 0) math.floor((n - nd) * 10000.0 / n).toLong else 0L,
+          if (n2 > 0) math.floor((n2 - nd2) * 10000.0 / n2).toLong else 0L)
+      })
+    }.toMap
+    assert(native == expect, s"native $native\nexpect $expect")
+    // spot values: "a b a b a b" has 6 tokens 2 distinct → 6666; five
+    // 2-grams, two distinct → 6000
+    assert(native(5L) == (6L, 6666L, 6000L))
+    // scale/plan shape: per-row map only — no Exchange; and the native
+    // path really is the single-pass kernel, not the HOF gram builder.
+    // Pin over a parquet-backed scan: a LocalRelation constant-folds the
+    // whole projection away and proves nothing about the plan.
+    val tmp = java.nio.file.Files.createTempDirectory("repstats").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val nativeDf = spark.read.parquet(tmp).select(col("doc_id") +:
+      TextOps.repetitionColumnsNative(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val plan = nativeDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("rep_stats") && !plan.contains("transform("), plan)
+  }
+
+  test("piiScrubColumns: planted fixtures scrub exactly; email digits never double-count") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // extra adversarial rows beyond the planted four: digit run inside a
+    // word, 6-digit run (below threshold), dotless/1-letter-TLD
+    // non-emails, trailing punctuation after an address
+    val extra = Seq(
+      (1L, "ab12345678cd"), (2L, "only 123456 digits"),
+      (3L, "user@localhost stays"), (4L, "a@b.c stays too"),
+      (5L, "mail me: x@y.com. thanks"),
+      (6L, "digits 99 in address n12345678@host.org tail"))
+    val rows = graft.synth.Planted.pii ++ extra
+    val docs = rows.toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +:
+      TextOps.piiScrubColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // brute force with the same java.util.regex patterns and order
+    // (emails first, numbers counted on the email-scrubbed text)
+    val expect = rows.map { case (id, t) =>
+      val nE = TextOps.PiiEmailPattern.r.findAllIn(t).size.toLong
+      val t1 = t.replaceAll(TextOps.PiiEmailPattern, "<EMAIL>")
+      val nN = TextOps.PiiNumPattern.r.findAllIn(t1).size.toLong
+      id -> (t1.replaceAll(TextOps.PiiNumPattern, "<NUM>"), nE, nN)
+    }.toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // pinned shapes: the planted four cover email-only / nums-only /
+    // both / negative-control-byte-identical
+    assert(got(980000001L) == ("zzpii reach <EMAIL> for access", 1L, 0L))
+    assert(got(980000002L) == ("zzpii call <NUM> or <NUM> today", 0L, 2L))
+    assert(got(980000003L) == ("zzpii <EMAIL> backup <NUM> zztail", 1L, 1L))
+    assert(got(980000004L) == ("zzpii clean row with no sensitive content", 0L, 0L))
+    // the address's own digits are redacted as <EMAIL>, not <NUM>
+    assert(got(6L) == ("digits 99 in address <EMAIL> tail", 1L, 0L))
+    assert(got(1L) == ("ab<NUM>cd", 0L, 1L))
+    assert(got(2L) == ("only 123456 digits", 0L, 0L))
+    assert(got(3L) == ("user@localhost stays", 0L, 0L))
+    // map-only scale shape (parquet-backed: a LocalRelation would
+    // constant-fold the projection and pin nothing)
+    val tmp = java.nio.file.Files.createTempDirectory("piiscrub").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp).select(col("doc_id") +:
+      TextOps.piiScrubColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && plan.contains("regexp_replace"), plan)
+  }
+
   test("property: contaminationHits and sourceCap match brute force on random corpora") {
     import spark.implicits._
     // random corpora from a SMALL shared vocabulary so cross-doc 13-gram
