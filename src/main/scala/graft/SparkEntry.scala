@@ -25,35 +25,40 @@ object SparkEntry {
     * [[graft.synth.Planted]]. Only doc_exact_dedup / doc_decontaminate
     * consume this; every other documents query reads the raw table.
     */
-  private def docsPlanted(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    t(s, d, "documents").select(col("doc_id"), col("text"))
-      .unionByName(graft.synth.Planted.docs.toDF("doc_id", "text"))
-  }
+  private def docsPlanted(s: SparkSession, d: String): DataFrame =
+    docsUnion(s, d, graft.synth.Planted.docs)
 
   /** The same planted rows as a DuckDB VALUES literal — generated from
     * the SAME constants the Spark union reads, so the two sides cannot
     * drift. Texts are quote-free by construction (PlantedSpec pins it).
     */
   private def plantedDocsValuesSql: String =
-    graft.synth.Planted.docs
-      .map { case (id, text) => s"($id, '$text')" }
-      .mkString("SELECT * FROM (VALUES ", ", ", ") AS pl(doc_id, text)")
+    plantedValuesSql(graft.synth.Planted.docs, "pl")
 
   /** documents ∪ the planted PII rows — consumed ONLY by doc_pii_scrub
     * (see [[graft.synth.Planted.pii]]); every other query reads the raw
     * table or [[docsPlanted]].
     */
-  private def docsPii(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    t(s, d, "documents").select(col("doc_id"), col("text"))
-      .unionByName(graft.synth.Planted.pii.toDF("doc_id", "text"))
-  }
+  private def docsPii(s: SparkSession, d: String): DataFrame =
+    docsUnion(s, d, graft.synth.Planted.pii)
 
   private def plantedPiiValuesSql: String =
-    graft.synth.Planted.pii
-      .map { case (id, text) => s"($id, '$text')" }
-      .mkString("SELECT * FROM (VALUES ", ", ", ") AS pp(doc_id, text)")
+    plantedValuesSql(graft.synth.Planted.pii, "pp")
+
+  // ONE implementation of the union-plus-generated-literal lockstep
+  // pattern, parameterized by the fixture set (review r8): a future fix
+  // to either side applies to every planted query at once — per-set
+  // copies could silently un-lockstep one query's two compare sides.
+  private def docsUnion(s: SparkSession, d: String,
+                        rows: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(rows.toDF("doc_id", "text"))
+  }
+
+  private def plantedValuesSql(rows: Seq[(Long, String)], alias: String): String =
+    rows.map { case (id, text) => s"($id, '$text')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", s") AS $alias(doc_id, text)")
 
   private def plantedCustkeysValuesSql: String =
     graft.synth.Planted.custkeys
@@ -415,13 +420,11 @@ object SparkEntry {
       TextOps.sourceCap(t(s, d, "documents"), k = 10)),
 
     // Gopher-style repetition quality signals — hot path is the native
-    // single-pass RepStats expression (the Column-HOF twin is the
-    // oracle-shaped form, equality spec-pinned); map-only, no shuffle
-    "doc_repetition" -> ((s, d) => {
-      val cols = TextOps.repetitionColumnsNative(col("text"))
-        .map { case (n, c) => c.as(n) }
-      t(s, d, "documents").select(col("doc_id") +: cols: _*)
-    }),
+    // single-pass RepStats expression, projected once and derived from
+    // (single-eval spec-pinned; the Column-HOF twin is the oracle-shaped
+    // form, equality spec-pinned); map-only, no shuffle
+    "doc_repetition" -> ((s, d) =>
+      TextOps.repetition(t(s, d, "documents"))),
 
     // PII redaction pass: emails then long digit runs, counts of each;
     // planted rows make both patterns + the negative control non-vacuous
@@ -772,12 +775,14 @@ object SparkEntry {
     // dup-token / dup-2-gram fractions are ×10000-floored ints: both
     // engines divide the same exact small ints (correctly-rounded IEEE
     // division; the true rational quotient is ≥ 1/n away from any other
-    // integer boundary), so floor cannot straddle engines
+    // integer boundary), so floor cannot straddle engines. The
+    // whitespace class is EXPLICIT (TextOps.RepWsPattern): java \s
+    // matches vertical tab, RE2's does not
     "doc_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+        |         ELSE regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') END AS t
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, t, len(t) AS n,

@@ -79,27 +79,37 @@ object Impl {
 
   // Spark's split(col, pat) is Pattern.split(s, -1): trailing empty
   // fields are KEPT (String.split's default limit 0 would drop them) —
-  // the kernel must match the Column twin on e.g. tab-trailing text
-  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  // the kernel must match the Column twin on e.g. tab-trailing text.
+  // The class is TextOps.RepWsPattern (explicit — java \s matches
+  // vertical tab, RE2's \s does not; review r8), compiled lazily so the
+  // two constants cannot drift.
+  private lazy val WsPattern =
+    java.util.regex.Pattern.compile(graft.ops.TextOps.RepWsPattern)
 
   /** Single-pass repetition counts `[n_tokens, n_distinct_tokens,
     * n_2grams, n_distinct_2grams]` — semantics exactly mirror the Column
-    * twin `TextOps.repetitionCountsColumn` (trim SPACES only → Locale.ROOT
-    * lowercase → split `\s+` with Spark's limit -1; < 2 tokens ⇒ no
+    * twin `TextOps.repetitionCountsColumn` (trim SPACES only →
+    * UTF8String.toLowerCase → split on TextOps.RepWsPattern with Spark's
+    * limit -1; < 2 tokens ⇒ no
     * 2-grams; all-space text ⇒ all zeros). Distinct 2-grams are counted
     * as distinct interned-token-id PAIRS packed into a long — exact
     * (tokens cannot contain the join space, so pair-distinct ≡
     * joined-string-distinct), with no gram strings materialized.
     */
   def repStats(s: UTF8String): ArrayData = {
-    val text = s.toString
+    // lowercase via UTF8String.toLowerCase — the SAME function the
+    // Column twin's lower() runs (probed: ≡ Locale.ROOT on İ/ß/Cyrillic,
+    // ≠ default-locale on tr-TR JVMs), so kernel ≡ twin holds BY
+    // CONSTRUCTION on non-ASCII input. lower commutes with the
+    // space-only trim below, so applying it first is equivalent to the
+    // twin's lower(trim(text)).
+    val text = s.toLowerCase.toString
     var b = 0; var e = text.length
     while (b < e && text.charAt(b) == ' ') b += 1
     while (e > b && text.charAt(e - 1) == ' ') e -= 1
     if (b == e)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0, 0, 0, 0))
-    val toks = WsPattern.split(
-      text.substring(b, e).toLowerCase(java.util.Locale.ROOT), -1)
+    val toks = WsPattern.split(text.substring(b, e), -1)
     val n = toks.length
     val ids = new Array[Int](n)
     val idOf = new java.util.HashMap[String, Integer](n * 2)

@@ -242,19 +242,37 @@ object TextOps {
   def repetitionColumns(text: Column): Seq[(String, Column)] =
     repetitionFromCounts(repetitionCountsColumn(text))
 
-  /** Hot-path twin of [[repetitionColumns]]: same output columns from
-    * the single-pass native [[graft.functions.RepStats]] counts (no
-    * interpreted HOF lambdas, no gram-string arrays materialized).
+  /** The hot-path op over a documents table: counts from the single-pass
+    * native [[graft.functions.RepStats]] kernel (no interpreted HOF
+    * lambdas, no gram-string arrays materialized). The kernel is
+    * projected ONCE into a named column and the three outputs derive
+    * from that reference — CollapseProject keeps a non-cheap
+    * multi-referenced expression un-inlined, and TextOpsSpec pins
+    * exactly one `rep_stats` occurrence in both the optimized and
+    * physical plans (the ClassifyTitleExpr discipline: a collapse
+    * regression would silently quadruple the kernel).
     */
-  def repetitionColumnsNative(text: Column): Seq[(String, Column)] =
-    repetitionFromCounts(graft.functions.GraftFunctions.rep_stats(text))
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rep_stats(col("text")).as("rc"))
+      .select(col("doc_id") +:
+        repetitionFromCounts(col("rc")).map { case (n, c) => c.as(n) }: _*)
+
+  /** Tokenizer for the repetition op, shared verbatim by the Column
+    * twin, the native kernel and the DuckDB oracle: an EXPLICIT
+    * whitespace class instead of `\s` because java.util.regex `\s`
+    * matches vertical tab (0x0B) while RE2's does not — the explicit
+    * class means the same thing in all three engines (review r8).
+    */
+  val RepWsPattern = "[ \\t\\n\\f\\r]+"
 
   /** [n_tokens, n_distinct_tokens, n_2grams, n_distinct_2grams] as pure
     * Column arithmetic — the SQL-expressible oracle twin of RepStats.
     */
   private[graft] def repetitionCountsColumn(text: Column): Column = {
     val toks = when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
-      .otherwise(split(lower(trim(text)), "\\s+"))
+      .otherwise(split(lower(trim(text)), RepWsPattern))
     val n = size(toks)
     // 1-based element_at; guarded so sequence() never sees start > stop
     val grams2 = when(n < 2, typedLit(Seq.empty[String]))
@@ -264,16 +282,21 @@ object TextOps {
   }
 
   private def repetitionFromCounts(counts: Column): Seq[(String, Column)] = {
-    val n = element_at(counts, 1)
-    val nd = element_at(counts, 2)
-    val n2 = element_at(counts, 3)
-    val nd2 = element_at(counts, 4)
+    // LONG arithmetic: the numerators multiply counts by 10000, and a
+    // single ~215k-duplicated-token document (exactly what this filter
+    // targets) overflows Int — ArithmeticException under Spark 4's
+    // default ANSI mode. The DuckDB oracle computes the same numerator
+    // in BIGINT (review r8).
+    val n = element_at(counts, 1).cast("long")
+    val nd = element_at(counts, 2).cast("long")
+    val n2 = element_at(counts, 3).cast("long")
+    val nd2 = element_at(counts, 4).cast("long")
     Seq(
-      "n_tokens" -> n.cast("long"),
+      "n_tokens" -> n,
       "dup_token_x10k" ->
-        when(n > 0, floor(((n - nd) * lit(10000)) / n)).otherwise(lit(0L)),
+        when(n > 0, floor(((n - nd) * lit(10000L)) / n)).otherwise(lit(0L)),
       "dup_2gram_x10k" ->
-        when(n2 > 0, floor(((n2 - nd2) * lit(10000)) / n2)).otherwise(lit(0L)))
+        when(n2 > 0, floor(((n2 - nd2) * lit(10000L)) / n2)).otherwise(lit(0L)))
   }
 
   /** Email pattern shared by the Spark and DuckDB sides of the PII

@@ -14,6 +14,22 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Recursive temp-dir cleanup (suite runs must not accumulate parquet
+    * dirs in /tmp); the walk stream is CLOSED before deleting (r4).
+    */
+  private def rmrf(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.toList
+        } finally stream.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("tokenDocFreq: plain count ≡ countDistinct(doc_id) when doc_id is the key") {
     import spark.implicits._
     // planted exact-dup TEXTS under DISTINCT ids (the sf1 dup shape),
@@ -122,36 +138,44 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       .contains("WindowGroupLimit"), capped.queryExecution.executedPlan.toString)
   }
 
-  test("repetition signals: native RepStats ≡ Column twin ≡ brute force, map-only plan") {
+  test("repetition signals: native RepStats ≡ Column twin ≡ brute force, single-eval map-only plan") {
     import spark.implicits._
-    import org.apache.spark.sql.Column
     // adversarial whitespace/case edges: empty, all-space, tab-only
     // (split keeps LEADING and — with Spark's limit -1 — TRAILING empty
     // tokens), single token, all-same, alternating 2-gram repeats,
-    // case folding, multi-space separators, tab-trailing text
+    // case folding, multi-space separators, tab-trailing text, a
+    // vertical tab (NOT whitespace under the explicit class — one
+    // token, where java \s would have split), and non-ASCII case folds
+    // (İ → i+combining-dot, ẞ → ß, Cyrillic) where kernel ≡ twin must
+    // hold beyond the ASCII fast path
     val texts = Seq(
       "", "   ", "\t", "a", "a a", "a b a b a b", "a a a a",
       "Alpha ALPHA alpha", "x y x y x", "one two three four",
       "a b  c", " padded  text ", "tab\ttokens here", "trail\t",
-      "w0 w1 w0 w1 w0 w1 end") ++
+      "w0 w1 w0 w1 w0 w1 end", "a\u000Bb c a\u000Bb",
+      "İ I i STRAẞE straße",
+      "ПРИВЕТ привет") ++
       (0 until 20).map(i => s"w${i % 3} w${(i + 1) % 4} w${i % 2} w${i % 3} end$i")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    def run(f: Column => Seq[(String, Column)]) =
-      docs.select(col("doc_id") +: f(col("text")).map { case (n, c) => c.as(n) }: _*)
-        .as[(Long, Long, Long, Long)].collect()
+    def collectRep(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    val native = run(TextOps.repetitionColumnsNative)
-    val column = run(TextOps.repetitionColumns)
+    val native = collectRep(TextOps.repetition(docs))
+    val column = collectRep(docs.select(col("doc_id") +:
+      TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*))
     assert(native == column)
     // brute force mirroring both twins' exact semantics: space-only
-    // trim, ROOT lowercase, \s+ split with limit -1 (trailing empties
-    // kept — Spark's split semantics)
+    // trim, UTF8String.toLowerCase (the function Column lower() runs),
+    // explicit-class split with limit -1 (trailing empties kept —
+    // Spark's split semantics)
     val expect = texts.zipWithIndex.map { case (t0, i) =>
       val t = t0.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
       i.toLong -> (if (t.isEmpty) (0L, 0L, 0L) else {
-        val toks = java.util.regex.Pattern.compile("\\s+")
-          .split(t.toLowerCase(java.util.Locale.ROOT), -1).toSeq
+        val lowered = org.apache.spark.unsafe.types.UTF8String
+          .fromString(t).toLowerCase.toString
+        val toks = java.util.regex.Pattern.compile(TextOps.RepWsPattern)
+          .split(lowered, -1).toSeq
         val n = toks.length
         val nd = toks.distinct.length
         val g2 = if (n < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toList
@@ -163,19 +187,30 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     }.toMap
     assert(native == expect, s"native $native\nexpect $expect")
     // spot values: "a b a b a b" has 6 tokens 2 distinct → 6666; five
-    // 2-grams, two distinct → 6000
+    // 2-grams, two distinct → 6000. The VT row is 3 tokens ("a\u000Bb"
+    // twice) → dup 3333; İ/I fold to the same token in NO engine pair
+    // we rely on (i+dot vs i) — just pin kernel ≡ twin above.
     assert(native(5L) == (6L, 6666L, 6000L))
-    // scale/plan shape: per-row map only — no Exchange; and the native
-    // path really is the single-pass kernel, not the HOF gram builder.
-    // Pin over a parquet-backed scan: a LocalRelation constant-folds the
-    // whole projection away and proves nothing about the plan.
+    assert(native(15L) == (3L, 3333L, 0L))
+    // scale/plan shape: per-row map only — no Exchange; the native path
+    // really is the single-pass kernel (no HOF gram builder), and it
+    // appears EXACTLY ONCE in the optimized AND physical plans although
+    // three outputs derive from it — the ClassifyTitleExpr discipline: a
+    // CollapseProject-style duplication would quadruple the kernel
+    // silently. Pin over a parquet-backed scan: a LocalRelation
+    // constant-folds the whole projection away and proves nothing.
     val tmp = java.nio.file.Files.createTempDirectory("repstats").toString
-    docs.write.mode("overwrite").parquet(tmp)
-    val nativeDf = spark.read.parquet(tmp).select(col("doc_id") +:
-      TextOps.repetitionColumnsNative(col("text")).map { case (n, c) => c.as(n) }: _*)
-    val plan = nativeDf.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
-    assert(plan.contains("rep_stats") && !plan.contains("transform("), plan)
+    try {
+      docs.write.mode("overwrite").parquet(tmp)
+      val nativeDf = TextOps.repetition(spark.read.parquet(tmp))
+      val opt = nativeDf.queryExecution.optimizedPlan.toString
+      val phys = nativeDf.queryExecution.executedPlan.toString
+      Seq(opt, phys).foreach { plan =>
+        assert(!plan.contains("Exchange") && !plan.contains("transform("), plan)
+        assert("rep_stats".r.findAllIn(plan).length == 1, plan)
+      }
+      assert(collectRep(nativeDf) == expect)
+    } finally rmrf(tmp)
   }
 
   test("piiScrubColumns: planted fixtures scrub exactly; email digits never double-count") {
@@ -218,11 +253,13 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     // map-only scale shape (parquet-backed: a LocalRelation would
     // constant-fold the projection and pin nothing)
     val tmp = java.nio.file.Files.createTempDirectory("piiscrub").toString
-    docs.write.mode("overwrite").parquet(tmp)
-    val df = spark.read.parquet(tmp).select(col("doc_id") +:
-      TextOps.piiScrubColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange") && plan.contains("regexp_replace"), plan)
+    try {
+      docs.write.mode("overwrite").parquet(tmp)
+      val df = spark.read.parquet(tmp).select(col("doc_id") +:
+        TextOps.piiScrubColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && plan.contains("regexp_replace"), plan)
+    } finally rmrf(tmp)
   }
 
   test("property: contaminationHits and sourceCap match brute force on random corpora") {
