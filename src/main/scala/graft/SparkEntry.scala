@@ -45,6 +45,19 @@ object SparkEntry {
   private def plantedPiiValuesSql: String =
     plantedValuesSql(graft.synth.Planted.pii, "pp")
 
+  /** documents ∪ the planted multi-line rows — consumed ONLY by
+    * doc_line_dedup (see [[graft.synth.Planted.lines]]: corpus texts are
+    * single-line, so cross-doc line scrubbing needs multi-line docs
+    * sharing boilerplate lines to be non-vacuous below sf1).
+    */
+  private def docsLines(s: SparkSession, d: String): DataFrame =
+    docsUnion(s, d, graft.synth.Planted.lines)
+
+  // newlines inside the planted texts are legal inside a DuckDB string
+  // literal verbatim (PlantedSpec pins per-LINE quote/backslash safety)
+  private def plantedLinesValuesSql: String =
+    plantedValuesSql(graft.synth.Planted.lines, "pln")
+
   // ONE implementation of the union-plus-generated-literal lockstep
   // pattern, parameterized by the fixture set (review r8): a future fix
   // to either side applies to every planted query at once — per-set
@@ -435,6 +448,18 @@ object SparkEntry {
       docsPii(s, d).select(col("doc_id") +: cols: _*)
     }),
 
+    // corpus vocabulary top-k (tokenizer-training first pass): one
+    // map-side-combinable shuffle + TakeOrderedAndProject; total order
+    // (cnt desc, token) makes the truncated set deterministic
+    "doc_vocab_topk" -> ((s, d) =>
+      TextOps.vocabTopK(t(s, d, "documents"), k = 20)),
+
+    // C4-style cross-document duplicate-line scrubbing; planted
+    // multi-line fixtures make it non-vacuous at every tier (corpus
+    // texts are single-line, so only whole-doc dups would fire)
+    "doc_line_dedup" -> ((s, d) =>
+      TextOps.lineDedup(docsLines(s, d))),
+
     // ---- similarity search over embeddings (rows-only: float scores) --
     "ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -814,6 +839,34 @@ object SparkEntry {
          |  n_emails,
          |  len(regexp_extract_all(t1, '[0-9]{7,}')) AS n_nums
          |FROM s1""".stripMargin,
+    "doc_vocab_topk" ->
+      """SELECT token, cnt FROM (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0 GROUP BY token)
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // zipped unnests align positionally in DuckDB → (line, ord) pairs;
+    // the windowed min≠max flag and the ORDER BY ord string_agg rebuild
+    // mirror TextOps.lineDedup exactly (count-style n_dropped, not
+    // sum(int) — DuckDB sums INTEGER into HUGEINT, which would break the
+    // schema compare)
+    "doc_line_dedup" ->
+      s"""WITH docs_p AS (
+         |  SELECT doc_id, text FROM documents UNION ALL $plantedLinesValuesSql),
+         |split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs_p),
+         |lines AS (
+         |  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls)+1)) AS ord FROM split),
+         |flag AS (
+         |  SELECT doc_id, ord, line,
+         |    CASE WHEN min(doc_id) OVER (PARTITION BY line)
+         |      <> max(doc_id) OVER (PARTITION BY line) THEN 1 ELSE 0 END AS is_dup
+         |  FROM lines)
+         |SELECT doc_id,
+         |  count(*) AS n_lines,
+         |  count(CASE WHEN is_dup = 1 THEN 1 END) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN is_dup = 0 THEN line END, chr(10) ORDER BY ord), '') AS text_clean
+         |FROM flag GROUP BY doc_id""".stripMargin,
     "media_frame_plan" ->
       """SELECT doc_id, unnest(range(0, frames, 30)) AS frame_idx
         |FROM read_parquet('{OUT}/_base/media_meta/*.parquet')

@@ -299,6 +299,71 @@ object TextOps {
         when(n2 > 0, floor(((n2 - nd2) * lit(10000L)) / n2)).otherwise(lit(0L)))
   }
 
+  /** Corpus vocabulary top-k (the tokenizer-training / vocab-pruning
+    * first pass): the k most frequent tokens by TOTAL term frequency —
+    * the term-frequency complement of [[tokenDocFreq]]'s document
+    * frequency. Ordering is TOTAL (count desc, then token asc), so the
+    * returned set is deterministic even under count ties.
+    *
+    * Scale shape: explode → ONE map-side-combinable shuffle on token
+    * (partial counts collapse to ≤|vocab| rows per map task before the
+    * exchange) → `orderBy.limit(k)` = TakeOrderedAndProject (k-row heap
+    * per partition, driver merges k·p rows) — no global sort, no
+    * single-partition window. TextOpsSpec pins the TakeOrdered plan.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Cross-document duplicate-LINE removal (the C4/RefinedWeb line-dedup
+    * curation pass: navigation bars, cookie banners and boilerplate
+    * repeat verbatim across pages and are scrubbed line-wise, not
+    * doc-wise). A line is dropped iff its exact text occurs in ≥ 2
+    * DISTINCT documents; a line repeated only WITHIN one document stays
+    * (that is [[repetitionColumns]]' job). Returns
+    * (doc_id, n_lines, n_dropped, text_clean) with surviving lines
+    * rejoined in original order ('' when every line was boilerplate).
+    *
+    * Cross-doc multiplicity is min(doc_id)≠max(doc_id) over a window on
+    * the line — NOT countDistinct (the r7 tokenDocFreq lesson: Expand +
+    * an extra shuffle) and NOT an agg + join-back of the dup-line set
+    * (the window form shuffles the exploded lines ONCE on hash(line);
+    * the join form would shuffle them twice). Per-group window state is
+    * the line's dup multiplicity; per-doc aggregation state is the doc's
+    * own surviving lines — both bounded by the same row widths the raw
+    * table already carries. Two exchanges total at any corpus size
+    * (TextOpsSpec pins the join-free two-exchange plan).
+    *
+    * Determinism notes, mirrored exactly by the DuckDB oracle: split is
+    * on '\n' with trailing empties KEPT (limit -1), so blank lines
+    * present in ≥ 2 docs are boilerplate like any other line; NULL-text
+    * docs vanish from the output on both engines (explode/unnest of
+    * NULL emits no rows).
+    */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("line"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("ord", "line")))
+      .withColumn("is_dup",
+        min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("is_dup"), lit(1))).as("n_dropped"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(!col("is_dup"), struct(col("ord"), col("line"))))),
+            s => s.getField("line"))).as("text_clean"))
+  }
+
   /** Email pattern shared by the Spark and DuckDB sides of the PII
     * scrubber — classes + greedy quantifiers only, so java.util.regex
     * and RE2 agree on every match (both leftmost-first).

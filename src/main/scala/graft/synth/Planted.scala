@@ -79,4 +79,20 @@ object Planted {
     (980000002L, "zzpii call 5551234567 or 18005551212 today"),
     (980000003L, "zzpii bob_jr+spam@mail.example.org backup 1234567 zztail"),
     (980000004L, "zzpii clean row with no sensitive content"))
+
+  /** Multi-line fixtures for doc_line_dedup (same rationale as [[pii]]:
+    * every synthetic corpus text is a SINGLE line, so cross-document
+    * duplicate-line scrubbing would only ever fire on whole-doc exact
+    * dups). Three docs share a boilerplate header line (one of them also
+    * a footer), each keeping a unique payload line, plus one all-unique
+    * negative control that must pass through byte-identical. Texts
+    * contain real newlines — legal inside both a Spark string and a
+    * DuckDB VALUES literal — and each LINE obeys the quote/backslash/
+    * spacing safety pins. NEVER unioned into any other query's input.
+    */
+  val lines: Seq[(Long, String)] = Seq(
+    (990000001L, "zzline boilerplate header\nzzline unique alpha one\nzzline boilerplate footer"),
+    (990000002L, "zzline boilerplate header\nzzline unique beta two\nzzline boilerplate footer"),
+    (990000003L, "zzline unique gamma three\nzzline boilerplate header"),
+    (990000004L, "zzline all unique row\nzzline another unique row"))
 }

@@ -67,6 +67,45 @@ class PlantedSpec extends AnyFunSuite {
       shapes.toString)
   }
 
+  test("line constants: id ranges, per-line literal safety, shared-line structure") {
+    val ids = Planted.lines.map(_._1)
+    assert(ids.distinct.size == ids.size)
+    // same range contract: above every tier's real id range, within
+    // INT32 for the DuckDB VALUES literal
+    assert(ids.forall(id => id >= 960000000L && id <= Int.MaxValue.toLong))
+    // disjoint from the other fixture sets — the sets union into
+    // DIFFERENT queries and must never alias
+    assert((ids.toSet & (Planted.docs.map(_._1) ++ Planted.pii.map(_._1)).toSet).isEmpty)
+    // the safety pins apply per LINE (texts contain real newlines by
+    // design — legal verbatim inside a DuckDB string literal); the
+    // zzline prefix keeps planted lines disjoint from every single-line
+    // corpus text, so no real doc's scrub outcome can shift
+    val lineRows = Planted.lines.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+    lineRows.flatMap(_._2).foreach { l =>
+      assert(!l.contains("'") && !l.contains("\\") && !l.contains("\""))
+      assert(l == l.trim && !l.contains("  ") && l.startsWith("zzline"))
+    }
+    // structure: at least one line shared by >= 2 docs (the op's positive
+    // case) and at least one doc with NO shared line (negative control)
+    val byLine = lineRows.flatMap { case (id, ls) => ls.distinct.map(l => (l, id)) }
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).distinct.size }
+    assert(byLine.values.exists(_ >= 2))
+    val shared = byLine.filter(_._2 >= 2).keySet
+    assert(lineRows.exists { case (_, ls) => ls.forall(!shared.contains(_)) })
+  }
+
+  test("planted lines produce the designed scrub outcomes") {
+    import spark.implicits._
+    val got = TextOps.lineDedup(Planted.lines.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(990000001L) == (3L, 2L, "zzline unique alpha one"))
+    assert(got(990000002L) == (3L, 2L, "zzline unique beta two"))
+    assert(got(990000003L) == (2L, 1L, "zzline unique gamma three"))
+    assert(got(990000004L) ==
+      (2L, 0L, "zzline all unique row\nzzline another unique row"))
+  }
+
   test("planted docs produce the designed exact-dup groups and contamination hits") {
     import spark.implicits._
     val docs = Planted.docs.toDF("doc_id", "text")

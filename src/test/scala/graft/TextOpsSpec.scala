@@ -262,6 +262,88 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     } finally rmrf(tmp)
   }
 
+  test("vocabTopK: exact counts, total-order tie break at the boundary, TakeOrdered plan") {
+    import spark.implicits._
+    // b and c tie at count 3 exactly at the k=3 boundary: the total
+    // order (cnt desc, token asc) must keep b and drop c
+    // deterministically; case/whitespace noise collapses; empty and
+    // blank docs contribute nothing
+    val docs = Seq(
+      (0L, "a a a a  B c"), (1L, " b b C c"), (2L, "a  c"), (3L, "b"),
+      (4L, ""), (5L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabTopK(docs, k = 3).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L), ("b", 4L), ("c", 4L)), got.toString)
+    val got2 = TextOps.vocabTopK(docs, k = 2).as[(String, Long)].collect().toSeq
+    assert(got2 == Seq(("a", 5L), ("b", 4L)), got2.toString)
+    // scale shape (parquet-backed): one hash aggregate exchange, then
+    // TakeOrderedAndProject — no global sort exchange
+    val tmp = java.nio.file.Files.createTempDirectory("vocabtopk").toString
+    try {
+      docs.write.mode("overwrite").parquet(tmp)
+      val plan = TextOps.vocabTopK(spark.read.parquet(tmp), k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      assert(!plan.contains("rangepartitioning"), plan)
+    } finally rmrf(tmp)
+  }
+
+  test("lineDedup: cross-doc lines scrubbed, within-doc repeats kept, join-free two-exchange plan") {
+    import spark.implicits._
+    // shapes under test: 3-way shared header + 2-way shared footer
+    // (planted fixture shape), a line repeated only WITHIN one doc (must
+    // stay — min=max on doc_id), a blank line shared across two docs
+    // (boilerplate like any other), a trailing-newline empty, an all-dup
+    // doc (text_clean = ''), an untouched negative control, and a
+    // whole-doc single-line exact dup (the sf1 planted-dup shape)
+    val rows: Seq[(Long, String)] = Seq(
+      (1L, "hdr\nalpha only\nftr"),
+      (2L, "hdr\nbeta only\nftr"),
+      (3L, "gamma only\nhdr"),
+      (4L, "solo\nsolo\nown line"),
+      (5L, "blankhost a\n\nblanktail a"),
+      (6L, "blankhost b\n\nblanktail b"),
+      (7L, "trail only\n"),
+      (8L, "hdr\nftr"),
+      (9L, "all unique here\nand here"),
+      (10L, "whole doc dup"),
+      (11L, "whole doc dup"))
+    // brute-force reference: dup line = exact string in >= 2 distinct docs
+    val allLines = rows.flatMap { case (id, t) => t.split("\n", -1).map((id, _)) }
+    val dupSet = allLines.distinct.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expect = rows.map { case (id, t) =>
+      val ls = t.split("\n", -1)
+      val kept = ls.filterNot(dupSet)
+      id -> (ls.length.toLong, (ls.length - kept.length).toLong, kept.mkString("\n"))
+    }.toMap
+    val got = TextOps.lineDedup(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // pinned spot shapes: order preserved, within-doc repeat kept, the
+    // shared blank line dropped, all-dup doc emptied, control untouched
+    assert(got(1L) == (3L, 2L, "alpha only"))
+    assert(got(4L) == (3L, 0L, "solo\nsolo\nown line"))
+    assert(got(5L) == (3L, 1L, "blankhost a\nblanktail a"))
+    assert(got(7L) == (2L, 1L, "trail only")) // the trailing '' matched doc 5/6's blank
+    assert(got(8L) == (2L, 2L, ""))
+    assert(got(9L) == (2L, 0L, "all unique here\nand here"))
+    assert(got(10L) == (1L, 1L, "") && got(11L) == (1L, 1L, ""))
+    // scale shape (parquet-backed): ONE exchange on hash(line) for the
+    // window flag + ONE on hash(doc_id) for the rebuild — no dup-set
+    // join-back (the join form would shuffle the exploded lines twice)
+    val tmp = java.nio.file.Files.createTempDirectory("linededup").toString
+    try {
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+      val plan = TextOps.lineDedup(spark.read.parquet(tmp))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), plan)
+      val nExchanges = "Exchange".r.findAllIn(plan).size
+      assert(nExchanges == 2, s"expected 2 exchanges, got $nExchanges:\n$plan")
+    } finally rmrf(tmp)
+  }
+
   test("property: contaminationHits and sourceCap match brute force on random corpora") {
     import spark.implicits._
     // random corpora from a SMALL shared vocabulary so cross-doc 13-gram
