@@ -839,6 +839,9 @@ object SparkEntry {
          |  n_emails,
          |  len(regexp_extract_all(t1, '[0-9]{7,}')) AS n_nums
          |FROM s1""".stripMargin,
+    // RE2's \s is exactly [ \t\n\f\r] — the Spark side splits on that
+    // explicit class (TextOps.RepWsPattern), because java \s ALSO
+    // matches vertical tab; the two tokenizers agree on every input
     "doc_vocab_topk" ->
       """SELECT token, cnt FROM (
         |  SELECT token, count(*) AS cnt FROM (
@@ -847,10 +850,12 @@ object SparkEntry {
         |  WHERE length(token) > 0 GROUP BY token)
         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     // zipped unnests align positionally in DuckDB → (line, ord) pairs;
-    // the windowed min≠max flag and the ORDER BY ord string_agg rebuild
-    // mirror TextOps.lineDedup exactly (count-style n_dropped, not
-    // sum(int) — DuckDB sums INTEGER into HUGEINT, which would break the
-    // schema compare)
+    // the windowed min≠max flag here is the EQUIVALENT one-pass SQL of
+    // TextOps.lineDedup's agg+join-back (window groups are fine at
+    // oracle tiers; the Spark side avoids them for crawl-scale skew),
+    // with the ORDER BY ord string_agg rebuild (count-style n_dropped,
+    // not sum(int) — DuckDB sums INTEGER into HUGEINT, which would
+    // break the schema compare)
     "doc_line_dedup" ->
       s"""WITH docs_p AS (
          |  SELECT doc_id, text FROM documents UNION ALL $plantedLinesValuesSql),

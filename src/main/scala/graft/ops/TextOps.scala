@@ -313,7 +313,10 @@ object TextOps {
     */
   def vocabTopK(docs: DataFrame, k: Int = 20): DataFrame =
     docs
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      // RepWsPattern, not java \s (which also matches vertical tab —
+      // RE2's \s does not; the explicit class means the same thing in
+      // both engines, review r8 — the doc_repetition lesson applied here)
+      .select(explode(split(lower(trim(col("text"))), RepWsPattern)).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -329,15 +332,26 @@ object TextOps {
     * (doc_id, n_lines, n_dropped, text_clean) with surviving lines
     * rejoined in original order ('' when every line was boilerplate).
     *
-    * Cross-doc multiplicity is min(doc_id)≠max(doc_id) over a window on
-    * the line — NOT countDistinct (the r7 tokenDocFreq lesson: Expand +
-    * an extra shuffle) and NOT an agg + join-back of the dup-line set
-    * (the window form shuffles the exploded lines ONCE on hash(line);
-    * the join form would shuffle them twice). Per-group window state is
-    * the line's dup multiplicity; per-doc aggregation state is the doc's
-    * own surviving lines — both bounded by the same row widths the raw
-    * table already carries. Two exchanges total at any corpus size
-    * (TextOpsSpec pins the join-free two-exchange plan).
+    * Cross-doc multiplicity is min(doc_id)≠max(doc_id) — NOT
+    * countDistinct (the r7 tokenDocFreq lesson: Expand + an extra
+    * shuffle) — computed as a map-side-combinable AGGREGATE on the line
+    * and joined back, NOT as a window over the line: a window group
+    * buffers every occurrence of its key in one task, and a ubiquitous
+    * boilerplate line (this op's own target — the blank line, a
+    * site-wide cookie banner) occurs in 10^8-10^9 docs at crawl scale —
+    * an unbounded skewed group and a spill-bound straggler. The agg
+    * keeps two longs per line regardless of multiplicity (hot lines
+    * collapse map-side to one partial row per task), and the join back
+    * streams: the dup-set side is grouped (one row per line), so a hot
+    * probe key never amplifies, and AQE's skew split applies. The
+    * dup-set join strategy is deliberately unhinted — the keepFromPairs
+    * contract: curated corpora have tiny dup sets (runtime broadcast →
+    * the exploded lines are never shuffled a second time), dup-heavy
+    * crawls have corpus-scale ones (broadcast would OOM; a shuffle join
+    * is right) — AQE's runtime stats own the choice. TextOpsSpec pins
+    * the window-free plan and the broadcast half on the driver-tier
+    * shape. Per-doc rebuild state is the doc's own surviving lines —
+    * bounded by the row width the raw table already carries.
     *
     * Determinism notes, mirrored exactly by the DuckDB oracle: split is
     * on '\n' with trailing empties KEPT (limit -1), so blank lines
@@ -346,21 +360,23 @@ object TextOps {
     * NULL emits no rows).
     */
   def lineDedup(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("line"))
-    docs
+    val lines = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n", -1)).as(Seq("ord", "line")))
-      .withColumn("is_dup",
-        min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+    val dup = lines
+      .groupBy(col("line"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("line"), lit(true).as("is_dup"))
+    lines.join(dup, Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        count(when(col("is_dup"), lit(1))).as("n_dropped"),
+        count(col("is_dup")).as("n_dropped"), // non-null flags = dropped
         concat_ws("\n",
           transform(
             array_sort(collect_list(
-              when(!col("is_dup"), struct(col("ord"), col("line"))))),
+              when(col("is_dup").isNull, struct(col("ord"), col("line"))))),
             s => s.getField("line"))).as("text_clean"))
   }
 

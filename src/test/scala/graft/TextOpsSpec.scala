@@ -264,10 +264,11 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
 
   test("vocabTopK: exact counts, total-order tie break at the boundary, TakeOrdered plan") {
     import spark.implicits._
-    // b and c tie at count 3 exactly at the k=3 boundary: the total
-    // order (cnt desc, token asc) must keep b and drop c
-    // deterministically; case/whitespace noise collapses; empty and
-    // blank docs contribute nothing
+    // b and c tie at count 4: k=3 returns both (no truncation), and the
+    // k=2 call below exercises the boundary — the total order (cnt desc,
+    // token asc) must keep b and drop c deterministically;
+    // case/whitespace noise collapses; empty and blank docs contribute
+    // nothing
     val docs = Seq(
       (0L, "a a a a  B c"), (1L, " b b C c"), (2L, "a  c"), (3L, "b"),
       (4L, ""), (5L, "   "))
@@ -330,17 +331,28 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     assert(got(8L) == (2L, 2L, ""))
     assert(got(9L) == (2L, 0L, "all unique here\nand here"))
     assert(got(10L) == (1L, 1L, "") && got(11L) == (1L, 1L, ""))
-    // scale shape (parquet-backed): ONE exchange on hash(line) for the
-    // window flag + ONE on hash(doc_id) for the rebuild — no dup-set
-    // join-back (the join form would shuffle the exploded lines twice)
+    // scale shape (parquet-backed): NO window over the line (a window
+    // group buffers every occurrence of a boilerplate line in one task —
+    // the unbounded-skewed-group trap, review r8); dup flags come from a
+    // map-side-combinable min/max agg joined back, strategy unhinted
+    // (the keepFromPairs AQE contract) — on this tiny-dup-set shape the
+    // runtime choice must be a broadcast, so the exploded lines cross
+    // exactly TWO hash exchanges (dup agg + per-doc rebuild)
     val tmp = java.nio.file.Files.createTempDirectory("linededup").toString
     try {
       rows.toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
-      val plan = TextOps.lineDedup(spark.read.parquet(tmp))
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("Join"), plan)
-      val nExchanges = "Exchange".r.findAllIn(plan).size
-      assert(nExchanges == 2, s"expected 2 exchanges, got $nExchanges:\n$plan")
+      val dd = TextOps.lineDedup(spark.read.parquet(tmp))
+      dd.collect() // AQE: judge the FINAL plan
+      val plan = dd.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+      // the AQE dump repeats the tree under "== Initial Plan ==" —
+      // count exchanges in the FINAL section only
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val nHashExchanges =
+        "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(nHashExchanges == 2,
+        s"expected 2 hash exchanges, got $nHashExchanges:\n$finalPlan")
     } finally rmrf(tmp)
   }
 
