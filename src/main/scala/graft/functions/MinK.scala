@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -56,22 +56,28 @@ final class MinKBuffer(val k: Int) {
   * per group for boundedness; callers with one row per (group, id) get
   * exactly the collect_set-slice semantics (DedupSpec pins equality).
   *
-  * ImplicitCastInputTypes (ADVICE r7): the collect_set/sort_array form
-  * this replaced accepted any orderable numeric id — a caller with an
-  * INT id column must keep analyzing (int→long implicit widening is
-  * value-preserving); only genuinely non-castable types fail analysis.
+  * Input contract (ADVICE r7 + r8): any INTEGRAL id column analyzes
+  * (byte/short/int widen to long value-preservingly in [[update]]);
+  * everything else — including fractional/decimal, whose implicit
+  * numeric→long cast would silently TRUNCATE — fails analysis. This is
+  * ExpectsInputTypes over the integral TypeCollection, deliberately not
+  * ImplicitCastInputTypes (which admits any numeric→long cast).
   */
 case class MinKLongs(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MinKBuffer] with ImplicitCastInputTypes {
+  extends TypedImperativeAggregate[MinKBuffer] with ExpectsInputTypes {
 
   require(k > 0, s"min_k needs k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(child)
-  override def inputTypes: Seq[GraftColumnBridge.AbstractType] = Seq(LongType)
+  override def inputTypes: Seq[GraftColumnBridge.AbstractType] =
+    Seq(GraftColumnBridge.typeCollection(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "min_k"
@@ -80,7 +86,12 @@ case class MinKLongs(
 
   override def update(b: MinKBuffer, input: org.apache.spark.sql.catalyst.InternalRow): MinKBuffer = {
     val v = child.eval(input)
-    if (v != null) b.insert(v.asInstanceOf[Long])
+    if (v != null) b.insert(v match { // integral widening only (see inputTypes)
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case y: java.lang.Byte => y.longValue()
+    })
     b
   }
 

@@ -131,8 +131,8 @@ object TextOps {
   // CollapseProject inline `split(text)` into the post-explode
   // projection — the doc is re-tokenized once PER GRAM (~38×) either
   // way. The kernel matches the Column/DuckDB semantics exactly: lower →
-  // trim → split \s+ (trim-first means no empty tokens; <n tokens ⇒ no
-  // grams; null text ⇒ no rows).
+  // trim → split on whitespace (trim-first means no empty tokens; <n
+  // tokens ⇒ no grams; null text ⇒ no rows).
   // Semantics mirror trim → lower → split('\s+') as BOTH engines define
   // them (r7 review finding): trim strips SPACES only (Java String.trim
   // would also eat tabs/newlines, changing the token list vs the oracle
@@ -153,8 +153,12 @@ object TextOps {
         var e = text.length
         while (b < e && text.charAt(b) == ' ') b += 1
         while (e > b && text.charAt(e - 1) == ' ') e -= 1
+        // RepWsPattern, not java \s (which also matches vertical tab —
+        // the DuckDB oracle's RE2 \s does not; ADVICE r8: the explicit
+        // class means the same thing in both engines, as already done in
+        // doc_repetition / doc_vocab_topk)
         val toks = text.substring(b, e)
-          .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .toLowerCase(java.util.Locale.ROOT).split(RepWsPattern)
         if (toks.length < n) Iterator.empty
         else (0 to toks.length - n).iterator
           .map(i => (id, toks.slice(i, i + n).mkString(" ")))
@@ -420,22 +424,49 @@ object TextOps {
 
   /** The canonical curation chain, composed from the ops above: exact
     * dedup (keep the smallest doc_id per fingerprint) ∘ language gate ∘
-    * quality gates. One window over the fingerprint (uniform key) + a
-    * codegen'd filter — the whole pipeline is two narrow stages and one
-    * shuffle at any corpus size.
+    * quality gates.
+    *
+    * Scale shape (VERDICT r8 item 1): keep-first dedup is a map-side-
+    * combinable `groupBy(fp).agg(min(doc_id), min_by(ok, doc_id))` —
+    * NOT a window over fp. The window form buffered every member of a
+    * dup group (text column included) in one task: a 10^6-copy
+    * templated page — exactly what exact dedup targets — became one
+    * spill-bound straggler, the shape [[lineDedup]]'s scaladoc rejects
+    * for crawl-scale boilerplate. Here every per-row predicate
+    * (language + both quality gates) is evaluated in the scan's map
+    * stage and rides the aggregate as one boolean, so the only shuffle
+    * carries (fp, doc_id, ok) ≈ 50 bytes/row, hot fingerprints collapse
+    * map-side to one partial per task, and per-key state is O(1) — no
+    * join-back needed because the output is the kept doc_id alone.
+    * Both aggregates keep PRIMITIVE buffers (long; boolean+long), so
+    * the stage is a true Tungsten HashAggregate — a min(struct(doc_id,
+    * ok)) formulation computed the same thing but planned SortAggregate
+    * (struct buffers are not mutable), paying a per-task sort of the
+    * corpus (plan-pinned against in TextOpsSpec).
+    * Equivalence with the windowed form (the doc_curated oracle keeps
+    * that shape in DuckDB, where oracle-tier groups are fine):
+    * min_by(ok, doc_id) is the min-doc_id row's predicate because
+    * doc_id is the table key (no ordering ties), and the gates only
+    * ever applied to the kept row — TextOpsSpec pins equality
+    * (including a dup group whose kept member fails a gate its other
+    * member passes) and the window-free one-exchange HashAggregate
+    * plan.
     */
   def curated(docs: DataFrame, lang: String = "en", minTokens: Int = 20,
               maxTokens: Int = 100000, minStopHits: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("fp"))
+    val ok = langIdHeuristic(col("text")) === lang &&
+      tokenCount(col("text")).between(minTokens, maxTokens) &&
+      (length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= minStopHits
     docs
-      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep_id"))
-      .filter(langIdHeuristic(col("text")) === lang)
-      .filter(tokenCount(col("text")).between(minTokens, maxTokens))
-      .filter((length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= minStopHits)
-      .select(col("doc_id"))
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"), ok.as("ok"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        min_by(col("ok"), col("doc_id")).as("keep_ok"))
+      // null-text rows group under the null fp with keep_ok = null —
+      // the filter drops them, exactly as the windowed form's
+      // `langId(null) === lang` (NULL) filter did
+      .filter(coalesce(col("keep_ok"), lit(false)))
+      .select(col("keep_id").as("doc_id"))
   }
 
   // ---------- deduplication ------------------------------------------------

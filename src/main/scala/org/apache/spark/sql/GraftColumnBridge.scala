@@ -14,4 +14,10 @@ object GraftColumnBridge {
     * package need it to declare `ExpectsInputTypes.inputTypes`.
     */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** `types.TypeCollection` is private[sql] too; needed to declare an
+    * integral-only input contract (MinKLongs — ADVICE r8).
+    */
+  def typeCollection(types: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
 }

@@ -155,6 +155,15 @@ class DedupSpec extends AnyFunSuite {
       .as[(String, Long, Seq[Long])].collect()
       .map { case (k, n, ids) => k -> ((n, ids)) }.toMap
     assert(got == Map("g" -> ((3L, Seq(1L, 2L))))) // h: n=1 filtered
+    // …and REJECTS fractional ids at analysis (ADVICE r8): the previous
+    // ImplicitCastInputTypes admitted double→long, silently TRUNCATING a
+    // fractional id; the integral-only contract fails loudly instead
+    val doubles = Seq(("g", 1.5), ("g", 2.5)).toDF("k", "doc_id")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.boundedGroups(doubles, Seq("k"), "doc_id", sampleK = 2).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("min_k") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"), ex.getMessage)
   }
 
   test("keepFromPairs join-strategy contract: tiny drop set → broadcast anti-join") {

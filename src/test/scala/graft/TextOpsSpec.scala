@@ -356,6 +356,70 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     } finally rmrf(tmp)
   }
 
+  test("curated: agg keep-first ≡ windowed reference, gates judge the KEPT member, window-free one-exchange plan") {
+    import spark.implicits._
+    // dup groups share fp = md5(lower + ws-normalized text), so members
+    // may differ in case/whitespace — which the case-SENSITIVE \bthe\b
+    // stop-hits gate sees. Groups under test:
+    //  g1: kept member (min id) PASSES all gates; its dup would too
+    //  g2: kept member FAILS stop-hits ("The" capitalized) while its
+    //      higher-id dup would pass — output must contain NEITHER (the
+    //      gates judge only the kept row; a filter-before-dedup or
+    //      any-member-ok bug flips this group)
+    //  g3: russian text (lang gate drops), g4: too short (token gate),
+    //  singletons passing and failing, a null-text row (dropped)
+    val g1a = "alpha the beta gamma delta"
+    val g2aFail = "The quick brown fox jumps"   // stop-hits 0 (case-sensitive)
+    val g2bPass = "the quick brown fox jumps"   // same fp, stop-hits 1
+    val rows: Seq[(Long, String)] = Seq(
+      (10L, g1a), (11L, "ALPHA the beta  gamma delta"), // same fp as g1a
+      (20L, g2aFail), (21L, g2bPass),
+      (30L, "привет мир снова и снова"),
+      (40L, "the end"), // 2 tokens < minTokens=3
+      (50L, "standalone the words here ok"),
+      (60L, "no stopword content here"))
+    val docs = rows.toDF("doc_id", "text")
+      .unionByName(Seq((70L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.curated(df, lang = "en", minTokens = 3, maxTokens = 100,
+        minStopHits = 1)
+    // windowed reference (the shape the DuckDB oracle keeps)
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs
+      .select(col("doc_id"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .filter(TextOps.langIdHeuristic(col("text")) === "en")
+      .filter(TextOps.tokenCount(col("text")).between(3, 100))
+      .filter((length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= 1)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val got = run(docs).as[Long].collect().toSet
+    assert(got == ref, s"got $got ref $ref")
+    assert(got == Set(10L, 50L), got.toString) // g2 fully dropped: kept member failed
+    // scale/plan shape (parquet-backed): keep-first must be ONE
+    // map-side-combinable aggregation — no Window (which buffers whole
+    // dup groups WITH text in one task), no join, exactly one hash
+    // exchange carrying (fp, struct(doc_id, ok)) — VERDICT r8 item 1
+    val tmp = java.nio.file.Files.createTempDirectory("curated").toString
+    try {
+      docs.write.mode("overwrite").parquet(tmp)
+      val cur = run(spark.read.parquet(tmp))
+      cur.collect() // AQE: judge the FINAL plan
+      val plan = cur.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("Join"), plan)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1, finalPlan)
+      assert(plan.contains("partial_min"), plan) // map-side combine half
+      // …and a true Tungsten HashAggregate: primitive buffers only (a
+      // min(struct) formulation planned SortAggregate = per-task sort
+      // of the corpus)
+      assert(plan.contains("HashAggregate"), plan)
+      assert(!plan.contains("SortAggregate"), plan)
+    } finally rmrf(tmp)
+  }
+
   test("property: contaminationHits and sourceCap match brute force on random corpora") {
     import spark.implicits._
     // random corpora from a SMALL shared vocabulary so cross-doc 13-gram
