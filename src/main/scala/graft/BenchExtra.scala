@@ -145,6 +145,28 @@ object BenchExtra {
           val (tb, bb) = timeNoop(spark, starRoundAgg(canon), "star round agg form")
           println(f"""{"ab":"ccstar","repeat":$r,"window_sec":$ta%.3f,"window_shuffle_bytes":$ba,"agg_sec":$tb%.3f,"agg_shuffle_bytes":$bb}""")
         }
+      case "curatedcost" =>
+        // per-stage attribution for the curated A/B: fingerprint alone vs
+        // fingerprint + gates over ALL rows (the agg form's map stage) —
+        // quantifies the gates-on-dup-rows overhead on dup-heavy corpora
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        import graft.ops.TextOps
+        def fpOnly = docs.select(TextOps.fingerprint(col("doc_id").cast("string")).as("h"))
+        def fpText = docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id"))
+        def fpGates = {
+          val ok = TextOps.langIdHeuristic(col("text")) === "en" &&
+            TextOps.tokenCount(col("text")).between(20, 100000) &&
+            (length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= 1
+          docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id"), ok.as("ok"))
+        }
+        timeNoop(spark, fpText, "warmup")
+        timeNoop(spark, fpGates, "warmup")
+        (1 to repeats).foreach { r =>
+          val (t0, _) = timeNoop(spark, fpOnly, "id-hash floor")
+          val (t1, _) = timeNoop(spark, fpText, "fingerprint(text)")
+          val (t2, _) = timeNoop(spark, fpGates, "fingerprint+gates")
+          println(f"""{"ab":"curatedcost","repeat":$r,"scan_floor_sec":$t0%.3f,"fp_sec":$t1%.3f,"fp_gates_sec":$t2%.3f}""")
+        }
       case "fuzzytail" =>
         // stage attribution for the fuzzy/near thread TAILS: how much of
         // each query is the salted size/sample aggregation (the part the
@@ -167,7 +189,7 @@ object BenchExtra {
           println(f"""{"ab":"fuzzytail","repeat":$r,"fuzzy_keyed_sec":$tKeyed%.3f,"fuzzy_full_sec":$tFull%.3f,"near_keyed_sec":$tNearKeyed%.3f,"near_full_sec":$tNear%.3f}""")
         }
       case other =>
-        System.err.println(s"unknown mode '$other' (curated|ccstar|fuzzytail)")
+        System.err.println(s"unknown mode '$other' (curated|ccstar|curatedcost|fuzzytail)")
         sys.exit(2)
     }
     spark.stop()

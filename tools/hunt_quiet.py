@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Quiet-window hunter (round 8): loop cheap extraction-tell probes and
+"""Quiet-window hunter (rounds 8+; log path via HUNT_LOG, default r9): loop cheap extraction-tell probes and
 fire the heavy measurement payloads the moment the host goes quiet.
 
 Payloads, in priority order:
@@ -18,7 +18,7 @@ import json, os, re, subprocess, sys, time
 
 REPO = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_ab"
 HOURS = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
-LOG = "/root/repo/BENCH/scaling_runs_r8.jsonl"
+LOG = os.environ.get("HUNT_LOG", "/root/repo/BENCH/scaling_runs_r9.jsonl")
 BENCH_OUT_DIR = "/root/repo/BENCH"
 SCALE_THRESH = 430_000   # 16c quiet ~ 500k; r7 best 8M leg ran at 461k
 BENCH_THRESH = 420_000   # 32c/100k historic quiet = 500k
@@ -80,7 +80,7 @@ def run_bench():
     pct = j.get("pct_of_historic_quiet", [])
     quiet = bool(pct) and max(pct) >= 90
     stamp = time.strftime("%H%M", time.gmtime())
-    dst = os.path.join(BENCH_OUT_DIR, f"bench_sf01_r8_{stamp}.json")
+    dst = os.path.join(BENCH_OUT_DIR, f"bench_sf01_r9_{stamp}.json")
     with open(dst, "w") as f:
         f.write(line + "\n")
     log({"attempt": "bench", "quiet": quiet, "artifact": dst,
