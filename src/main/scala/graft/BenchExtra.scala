@@ -29,28 +29,27 @@ object BenchExtra {
     spark.sparkContext.setJobDescription(label)
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
-    try df.write.format("noop").mode("overwrite").save()
-    finally {
+    var elapsed = 0.0
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      // capture BEFORE the listener drain: the 300 ms sleep is harness
+      // bookkeeping, not query time (review r9 — it inflated every
+      // published A/B number by a constant ~0.3 s)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    } finally {
       spark.sparkContext.setJobDescription(null)
       Thread.sleep(300) // listener bus drain
       spark.sparkContext.removeSparkListener(listener)
     }
-    ((System.nanoTime() - t0) / 1e9, bytes.get())
+    (elapsed, bytes.get())
   }
 
-  /** The r8 window form of TextOps.curated, kept verbatim as the A side. */
-  private def curatedWindowForm(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("fp"))
-    docs
-      .select(col("doc_id"), col("text"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep_id"))
-      .filter(graft.ops.TextOps.langIdHeuristic(col("text")) === "en")
-      .filter(graft.ops.TextOps.tokenCount(col("text")).between(20, 100000))
-      .filter((length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= 1)
-      .select(col("doc_id"))
-  }
+  /** The r8 window form of TextOps.curated — the ONE shared reference
+    * (A/B side here, equality oracle in TextOpsSpec): see
+    * [[graft.ops.TextOps.curatedWindowReference]].
+    */
+  private def curatedWindowForm(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.curatedWindowReference(docs)
 
   /** The r8 window form of the large/small-star rounds, kept verbatim as
     * the A side of the ccstar A/B (ONE round, not to convergence — the
@@ -159,8 +158,9 @@ object BenchExtra {
             (length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= 1
           docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id"), ok.as("ok"))
         }
-        timeNoop(spark, fpText, "warmup")
-        timeNoop(spark, fpGates, "warmup")
+        timeNoop(spark, fpOnly, "warmup") // every leg warms (review r9):
+        timeNoop(spark, fpText, "warmup") // the floor must not carry
+        timeNoop(spark, fpGates, "warmup") // codegen/footer first-touch
         (1 to repeats).foreach { r =>
           val (t0, _) = timeNoop(spark, fpOnly, "id-hash floor")
           val (t1, _) = timeNoop(spark, fpText, "fingerprint(text)")

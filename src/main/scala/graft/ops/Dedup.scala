@@ -117,8 +117,10 @@ object Dedup {
       // r8 item 5 asked for the window-vs-combinable-agg A/B; refutation
       // logged): on a 2.4M-edge synthetic graph (200k 5-cliques + 100k
       // chain + one 300k-degree hub) the groupBy(u).agg(min)+join-back
-      // rewrite timed 3.6-3.9 s/round vs the window's 2.1-4.5 s
-      // (median 2.98) and shuffled +36% bytes (149 vs 109 MB) — the agg
+      // rewrite lost every interleaved noop-sink repeat (window/agg
+      // 1.7/2.7, 2.3/3.3, 6.0/6.1, 7.3/17.2 s under varying host load;
+      // the pre-timer-fix run agreed: window median 2.98 vs 3.79 s)
+      // and shuffled +36% bytes (149 vs 109 MB) — the agg
       // adds a mins-table exchange plus a join where the window needs
       // one exchange + sort (`graft.BenchExtra ccstar`,
       // OPTIMIZATION_r09.md). Skew exposure is bounded: window rows are

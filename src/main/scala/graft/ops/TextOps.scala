@@ -469,6 +469,28 @@ object TextOps {
       .select(col("keep_id").as("doc_id"))
   }
 
+  /** The r8 WINDOW form of [[curated]], kept as the executable reference
+    * (the shape the frozen DuckDB oracle expresses): TextOpsSpec pins
+    * `curated ≡ curatedWindowReference` and `BenchExtra curated` A/Bs
+    * the two — ONE copy so the reference cannot drift from itself
+    * (review r9). Not a production path: the window buffers whole dup
+    * groups with text in one task (see [[curated]]'s scaladoc).
+    */
+  private[graft] def curatedWindowReference(docs: DataFrame, lang: String = "en",
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minStopHits: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .filter(langIdHeuristic(col("text")) === lang)
+      .filter(tokenCount(col("text")).between(minTokens, maxTokens))
+      .filter((length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= minStopHits)
+      .select(col("doc_id"))
+  }
+
   // ---------- deduplication ------------------------------------------------
 
   /** Exact dedup: fingerprint groupBy. Map-side-combinable count + bounded

@@ -79,17 +79,26 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
       // tab-prefixed copy: trim strips SPACES only (both engines), so
       // the tab survives and yields a leading EMPTY token — full-window
       // grams still align from token 1 on (28 hits like the full copy)
-      (6L, "\t" + probeText)
+      (6L, "\t" + probeText),
+      // vertical-tab copy (ADVICE r8): U+000B is NOT whitespace under
+      // the explicit RepWsPattern class (nor under the oracle's RE2
+      // \s), so tok19␋tok20 fuses into ONE token and only the 7+7
+      // windows clear of it still match — java \s+ would have split it
+      // and scored 28 like the full copy
+      (7L, w.take(20).mkString(" ") + "\u000B" + w.drop(20).mkString(" "))
     )
     val docs = rows.toDF("doc_id", "text")
     val probes = docs.filter($"doc_id" % 97 === 0)
     val got = TextOps.contaminationHits(docs, probes, n = 13)
       .as[(Long, Long)].collect().toMap
     // brute-force reference mirroring the kernel's exact semantics:
-    // space-only trim, Locale.ROOT lowercase, \s+ split with empties KEPT
+    // space-only trim, Locale.ROOT lowercase, RepWsPattern split (the
+    // explicit class — java \s would diverge on the VT row) with
+    // empties KEPT
     def grams(t0: String): Set[String] = {
       val t = t0.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-      val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      val toks = java.util.regex.Pattern.compile(TextOps.RepWsPattern)
+        .split(t.toLowerCase(java.util.Locale.ROOT)).toSeq
       if (toks.length < 13) Set.empty
       else toks.sliding(13).map(_.mkString(" ")).toSet
     }
@@ -99,6 +108,7 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     }.filter(_._2 > 0).toMap
     assert(got == expect, s"got $got expect $expect")
     assert(got(1L) == 28L && got(2L) == 8L && got(5L) == 28L && got(6L) == 28L)
+    assert(got(7L) == 14L, "VT fuses one token; 7 prefix + 7 suffix windows survive")
     assert(!got.contains(0L), "probe's self-hits excluded")
     assert(!got.contains(3L) && !got.contains(4L))
     // scale shape: the benchmark-sized probe side broadcasts — the corpus
@@ -383,17 +393,11 @@ class TextOpsSpec extends AnyFunSuite with GenChecks {
     def run(df: org.apache.spark.sql.DataFrame) =
       TextOps.curated(df, lang = "en", minTokens = 3, maxTokens = 100,
         minStopHits = 1)
-    // windowed reference (the shape the DuckDB oracle keeps)
-    import org.apache.spark.sql.expressions.Window
-    val ref = docs
-      .select(col("doc_id"), col("text"),
-        TextOps.fingerprint(col("text")).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id"))
-      .filter(TextOps.langIdHeuristic(col("text")) === "en")
-      .filter(TextOps.tokenCount(col("text")).between(3, 100))
-      .filter((length(col("text")) - length(regexp_replace(col("text"), "\\bthe\\b", ""))) / 3 >= 1)
-      .select(col("doc_id")).as[Long].collect().toSet
+    // windowed reference (the shape the DuckDB oracle keeps) — the ONE
+    // shared copy BenchExtra's A/B also times (review r9)
+    val ref = TextOps.curatedWindowReference(docs, lang = "en",
+      minTokens = 3, maxTokens = 100, minStopHits = 1)
+      .as[Long].collect().toSet
     val got = run(docs).as[Long].collect().toSet
     assert(got == ref, s"got $got ref $ref")
     assert(got == Set(10L, 50L), got.toString) // g2 fully dropped: kept member failed

@@ -19,6 +19,10 @@ import json, os, re, subprocess, sys, time
 REPO = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_ab"
 HOURS = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
 LOG = os.environ.get("HUNT_LOG", "/root/repo/BENCH/scaling_runs_r9.jsonl")
+# artifact prefix follows the log's round token (review r9: a round-10
+# HUNT_LOG must not write its bench artifacts under an r9 name)
+_m = re.search(r"_r(\d+)\.jsonl$", LOG)
+ROUND = f"r{_m.group(1)}" if _m else "rX"
 BENCH_OUT_DIR = "/root/repo/BENCH"
 SCALE_THRESH = 430_000   # 16c quiet ~ 500k; r7 best 8M leg ran at 461k
 BENCH_THRESH = 420_000   # 32c/100k historic quiet = 500k
@@ -80,7 +84,7 @@ def run_bench():
     pct = j.get("pct_of_historic_quiet", [])
     quiet = bool(pct) and max(pct) >= 90
     stamp = time.strftime("%H%M", time.gmtime())
-    dst = os.path.join(BENCH_OUT_DIR, f"bench_sf01_r9_{stamp}.json")
+    dst = os.path.join(BENCH_OUT_DIR, f"bench_sf01_{ROUND}_{stamp}.json")
     with open(dst, "w") as f:
         f.write(line + "\n")
     log({"attempt": "bench", "quiet": quiet, "artifact": dst,
