@@ -24,8 +24,12 @@ LOG = os.environ.get("HUNT_LOG", "/root/repo/BENCH/scaling_runs_r9.jsonl")
 _m = re.search(r"_r(\d+)\.jsonl$", LOG)
 ROUND = f"r{_m.group(1)}" if _m else "rX"
 BENCH_OUT_DIR = "/root/repo/BENCH"
-SCALE_THRESH = 430_000   # 16c quiet ~ 500k; r7 best 8M leg ran at 461k
-BENCH_THRESH = 420_000   # 32c/100k historic quiet = 500k
+# Thresholds are env-tunable (r9): r8 logged 86 probes without ever
+# reaching 430k, so a round may choose to fire payloads on the best
+# windows the host actually offers (the payload's own per-repeat tells
+# remain the disclosed quality gate — firing lower never hides load).
+SCALE_THRESH = int(os.environ.get("HUNT_SCALE_THRESH", 430_000))  # 16c quiet ~ 500k; r7 best 8M leg ran at 461k
+BENCH_THRESH = int(os.environ.get("HUNT_BENCH_THRESH", 420_000))  # 32c/100k historic quiet = 500k
 PROBE_GAP_S = 180
 
 def log(obj):
