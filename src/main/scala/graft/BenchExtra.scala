@@ -162,10 +162,14 @@ object BenchExtra {
         timeNoop(spark, fpText, "warmup") // the floor must not carry
         timeNoop(spark, fpGates, "warmup") // codegen/footer first-touch
         (1 to repeats).foreach { r =>
+          // NOTE: the floor leg projects doc_id only — column pruning
+          // means it never reads text, so it is an ID-HASH floor, not a
+          // text-scan floor (review r9): attribute gate cost as
+          // fp_gates_sec - fp_sec, never fp_sec - id_hash_floor_sec
           val (t0, _) = timeNoop(spark, fpOnly, "id-hash floor")
           val (t1, _) = timeNoop(spark, fpText, "fingerprint(text)")
           val (t2, _) = timeNoop(spark, fpGates, "fingerprint+gates")
-          println(f"""{"ab":"curatedcost","repeat":$r,"scan_floor_sec":$t0%.3f,"fp_sec":$t1%.3f,"fp_gates_sec":$t2%.3f}""")
+          println(f"""{"ab":"curatedcost","repeat":$r,"id_hash_floor_sec":$t0%.3f,"fp_sec":$t1%.3f,"fp_gates_sec":$t2%.3f}""")
         }
       case "fuzzytail" =>
         // stage attribution for the fuzzy/near thread TAILS: how much of

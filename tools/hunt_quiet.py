@@ -30,6 +30,11 @@ BENCH_OUT_DIR = "/root/repo/BENCH"
 # remain the disclosed quality gate — firing lower never hides load).
 SCALE_THRESH = int(os.environ.get("HUNT_SCALE_THRESH", 430_000))  # 16c quiet ~ 500k; r7 best 8M leg ran at 461k
 BENCH_THRESH = int(os.environ.get("HUNT_BENCH_THRESH", 420_000))  # 32c/100k historic quiet = 500k
+# The quiet VERDICT on a scaling pair is anchored to the historic bar,
+# NOT the (possibly lowered) fire threshold — otherwise firing lower
+# would relabel loaded pairs as quiet and end the hunt (review r9; the
+# bench payload's verdict was already anchored via pct_of_historic).
+SCALE_QUIET_VERDICT = 430_000
 PROBE_GAP_S = 180
 
 def log(obj):
@@ -66,8 +71,8 @@ def run_scaling_pair():
     log({"attempt": "scaling-pair", "p8m": r8, "p4m": r4})
     tells8 = [r["tell_docs_per_sec"] for r in r8]
     tells4 = [r["tell_docs_per_sec"] for r in r4]
-    quiet = (tells8 and tells4 and max(tells8) >= SCALE_THRESH
-             and max(tells4) >= SCALE_THRESH)
+    quiet = (tells8 and tells4 and max(tells8) >= SCALE_QUIET_VERDICT
+             and max(tells4) >= SCALE_QUIET_VERDICT)
     log({"attempt": "scaling-pair-verdict", "quiet": quiet,
          "tells8": tells8, "tells4": tells4})
     return quiet
